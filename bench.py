@@ -1,0 +1,72 @@
+"""Throughput benchmark — prints ONE JSON line.
+
+Metric: training clips/sec/chip on the canonical center-mask config
+(README.md:78: fineSize=128, nBottleneck=4000, wtl2=0.999, overlapPred=4,
+batch 64).  Baseline: the reference's ~1.455 s/batch@64 ≈ 44 images/s on its
+single CUDA GPU (training_logs:1, BASELINE.md).
+
+Measures the FULL fused path the way training runs it: uint8 batch → on-device
+preprocess (flip/normalize/center-mask) → G fwd + 2 D fwd → joint backward →
+two Adam updates, as one donated jit; synthetic uint8 input isolates device
+throughput from disk (the reference's number is data-bound — ours must not be).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_IMAGES_PER_SEC = 44.0
+
+
+def main() -> None:
+    from video_filler_tpu.config import Opt
+    from video_filler_tpu.train import init_train_state, make_preprocess, make_train_step
+
+    opt = Opt(batchSize=64, fineSize=128, nBottleneck=4000, wtl2=0.999,
+              overlapPred=4, computeDtype="bfloat16")
+    state = init_train_state(jax.random.PRNGKey(0), opt, "center")
+    preprocess = make_preprocess(opt, "center")
+    train_step = make_train_step(opt, "center")
+
+    def _fused(state, raw, key):
+        k_prep, k_step = jax.random.split(key)
+        batch = preprocess(raw, k_prep)
+        return train_step(state, batch, k_step)
+
+    fused = jax.jit(_fused, donate_argnums=0)
+
+    rs = np.random.RandomState(0)
+    raw = jnp.asarray(rs.randint(0, 256, (opt.batchSize, 128, 128, 3),
+                                 dtype=np.uint8))
+    key = jax.random.PRNGKey(1)
+
+    # warmup (compile + stabilize)
+    for i in range(3):
+        key, sub = jax.random.split(key)
+        state, metrics = fused(state, raw, sub)
+    jax.block_until_ready(state)
+
+    iters = 50
+    t0 = time.perf_counter()
+    for i in range(iters):
+        key, sub = jax.random.split(key)
+        state, metrics = fused(state, raw, sub)
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+
+    clips_per_sec = opt.batchSize * iters / dt
+    print(json.dumps({
+        "metric": "train_clips_per_sec_per_chip",
+        "value": round(clips_per_sec, 2),
+        "unit": "clips/s/chip (fineSize=128, batch=64, center regime)",
+        "vs_baseline": round(clips_per_sec / BASELINE_IMAGES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,174 @@
+"""Fused GAN train-step tests: gradient flow, loss semantics, smoke training.
+
+Uses tiny widths so CPU compiles stay fast; the semantics under test
+(blending, compositing, optimizer wiring) are width-independent.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_filler_tpu.config import Opt
+from video_filler_tpu.train import init_train_state, make_train_step
+
+TINY = dict(nef=8, ngf=8, ndf=8, nBottleneck=32, batchSize=4,
+            computeDtype="float32")
+
+
+def _center_batch(seed=0, b=4):
+    rs = np.random.RandomState(seed)
+    return {"real": jnp.asarray(
+        rs.rand(b, 128, 128, 3).astype(np.float32) * 2 - 1)}
+
+
+def _video_batch(seed=0, b=2, pred_len=2):
+    rs = np.random.RandomState(seed)
+    real = jnp.asarray(rs.rand(b, 128, 128, 3 * pred_len).astype(np.float32)
+                       * 2 - 1)
+    mask = jnp.zeros((b, 128, 128, 1)).at[:, 40:80, 40:80, :].set(1.0)
+    return {"real": real, "mask": mask}
+
+
+def test_center_step_runs_and_updates(rng):
+    opt = Opt(wtl2=0.999, overlapPred=4, **TINY)
+    state = init_train_state(rng, opt, "center")
+    step = jax.jit(make_train_step(opt, "center"))
+    batch = _center_batch()
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert int(new_state.step) == 1
+    for k in ("errD", "errG", "errG_l2", "errG_total"):
+        assert np.isfinite(float(metrics[k])), k
+    # params actually moved
+    delta = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                         state.params_g, new_state.params_g)
+    assert max(jax.tree.leaves(delta)) > 0
+    # BN running stats updated on both nets
+    assert not np.allclose(
+        np.asarray(new_state.state_g["enc"]["bn1"]["mean"]),
+        np.asarray(state.state_g["enc"]["bn1"]["mean"]))
+    assert not np.allclose(
+        np.asarray(new_state.state_d["bn2"]["mean"]),
+        np.asarray(state.state_d["bn2"]["mean"]))
+
+
+def test_center_smoke_training_decreases_l2(rng):
+    """Seeded smoke train: reconstruction improves over a few hundred steps on
+    a fixed batch (the reference's only quality bar is empirical; SURVEY §4)."""
+    opt = Opt(wtl2=0.999, lr=2e-4, **TINY)
+    state = init_train_state(rng, opt, "center")
+    step = jax.jit(make_train_step(opt, "center"))
+    batch = _center_batch(1)
+    first = None
+    key = jax.random.PRNGKey(2)
+    for i in range(60):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, batch, sub)
+        if first is None:
+            first = float(metrics["errG_l2"])
+    last = float(metrics["errG_l2"])
+    assert last < first * 0.9, (first, last)
+
+
+def test_video_step_weighted(rng):
+    opt = Opt(wtl2=0.999, weight_nomask=0.05, predLen=2, wtgdl=0.1, **TINY)
+    state = init_train_state(rng, opt, "video")
+    step = jax.jit(make_train_step(opt, "video"))
+    new_state, metrics = step(state, _video_batch(), jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["errG_total"]))
+    assert float(metrics["errG_gdl"]) > 0
+
+
+def test_video_hard_composite_masks_gradients(rng):
+    """weight_nomask=0: D sees gt outside the mask and G's gradient flows only
+    through masked pixels (train_vid_weighted.lua:429-434)."""
+    opt = Opt(wtl2=0.999, weight_nomask=0.0, predLen=1, **TINY)
+    state = init_train_state(rng, opt, "video")
+    step = jax.jit(make_train_step(opt, "video"))
+    new_state, metrics = step(state, _video_batch(pred_len=1),
+                              jax.random.PRNGKey(4))
+    assert np.isfinite(float(metrics["errG_total"]))
+
+
+def test_gdl_quirk_changes_gradient_not_value(rng):
+    opt_correct = Opt(wtl2=0.999, predLen=1, wtgdl=0.5, gdlTorchQuirk=False,
+                      **TINY)
+    opt_quirk = opt_correct.replace(gdlTorchQuirk=True)
+    batch = _video_batch(7, b=2, pred_len=1)
+    key = jax.random.PRNGKey(5)
+    s0 = init_train_state(rng, opt_correct, "video")
+    s_correct, m_correct = jax.jit(make_train_step(opt_correct, "video"))(
+        s0, batch, key)
+    s_quirk, m_quirk = jax.jit(make_train_step(opt_quirk, "video"))(
+        s0, batch, key)
+    # logged GDL value identical; applied gradients differ
+    np.testing.assert_allclose(float(m_correct["errG_gdl"]),
+                               float(m_quirk["errG_gdl"]), rtol=1e-5)
+    diff = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                        s_correct.params_g, s_quirk.params_g)
+    assert max(jax.tree.leaves(diff)) > 0
+
+
+def test_g_lr_10x_rule():
+    from video_filler_tpu.train.step import _optimizers
+    import optax
+
+    # 0<wtl2<1 → G lr 10x (train.lua:218-222)
+    opt = Opt(wtl2=0.999, **TINY)
+    params = {"w": jnp.ones((4,))}
+    grads = {"w": jnp.ones((4,))}
+    tx_g, tx_d = _optimizers(opt)
+    ug, _ = tx_g.update(grads, tx_g.init(params), params)
+    ud, _ = tx_d.update(grads, tx_d.init(params), params)
+    ratio = float(ug["w"][0] / ud["w"][0])
+    np.testing.assert_allclose(ratio, 10.0, rtol=1e-4)
+
+    opt2 = Opt(wtl2=0.0, **TINY)
+    tx_g2, _ = _optimizers(opt2)
+    ug2, _ = tx_g2.update(grads, tx_g2.init(params), params)
+    np.testing.assert_allclose(float(ug2["w"][0] / ud["w"][0]), 1.0, rtol=1e-4)
+
+
+def test_noise_gen_step(rng):
+    opt = Opt(wtl2=0.999, noiseGen=True, nz=16, **TINY)
+    state = init_train_state(rng, opt, "center")
+    step = jax.jit(make_train_step(opt, "center"))
+    _, metrics = step(state, _center_batch(), jax.random.PRNGKey(6))
+    assert np.isfinite(float(metrics["errG_total"]))
+
+
+def test_condition_adv_step(rng):
+    opt = Opt(wtl2=0.0, conditionAdv=True, **TINY)
+    state = init_train_state(rng, opt, "center")
+    step = jax.jit(make_train_step(opt, "center"))
+    _, metrics = step(state, _center_batch(), jax.random.PRNGKey(7))
+    assert np.isfinite(float(metrics["errD"]))
+
+
+def test_wholeim_step(rng):
+    opt = Opt(wtl2=0.999, **TINY)
+    state = init_train_state(rng, opt, "wholeim")
+    rs = np.random.RandomState(8)
+    batch = {
+        "real": jnp.asarray(rs.rand(2, 128, 128, 12).astype(np.float32) * 2 - 1),
+        "mask": jnp.zeros((2, 128, 128, 12)).at[:, 30:60, 30:60, :].set(1.0),
+        "masked": jnp.asarray(
+            rs.rand(2, 128, 128, 27).astype(np.float32) * 2 - 1),
+    }
+    _, metrics = jax.jit(make_train_step(opt, "wholeim"))(
+        state, batch, jax.random.PRNGKey(9))
+    assert np.isfinite(float(metrics["errG_total"]))
+
+
+def test_logo_step(rng):
+    opt = Opt(wtl2=0.999, **TINY)
+    state = init_train_state(rng, opt, "logo")
+    rs = np.random.RandomState(10)
+    batch = {
+        "real": jnp.asarray(rs.rand(2, 128, 128, 3).astype(np.float32) * 2 - 1),
+        "masked": jnp.asarray(
+            rs.rand(2, 128, 128, 3).astype(np.float32) * 2 - 1),
+    }
+    _, metrics = jax.jit(make_train_step(opt, "logo"))(
+        state, batch, jax.random.PRNGKey(11))
+    assert np.isfinite(float(metrics["errG_total"]))

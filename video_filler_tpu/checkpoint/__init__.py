@@ -1,0 +1,6 @@
+from video_filler_tpu.checkpoint.ckpt import (  # noqa: F401
+    checkpoint_path,
+    restore_checkpoint,
+    restore_latest,
+    save_checkpoint,
+)

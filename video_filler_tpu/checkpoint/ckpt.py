@@ -1,0 +1,90 @@
+"""Checkpoint / resume.
+
+The reference saves module graphs as .t7 every 20 epochs, scrubbing cudnn
+modules and gradient buffers, and does NOT checkpoint optimizer state
+(util.lua:72-105, train.lua:457-463) — finetunes restart Adam
+(train_vid_weighted.lua:242-257).  Here a checkpoint is the full training
+pytree — G/D params, BN running stats, BOTH Adam states, step counter — saved
+as a flat .npz keyed by tree paths.  Restore rebuilds into a freshly-initialized
+TrainState (structure is the schema; the file only carries leaves), so resume
+is exact, not approximate.
+
+File naming mirrors the reference convention
+``checkpoints/<name>_<epoch>_net_G.t7`` -> ``<dir>/<name>_<epoch>_state.npz``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def _flatten(tree: Any) -> dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = jax.tree_util.keystr(path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def checkpoint_path(ckpt_dir: str, name: str, epoch: int) -> str:
+    return os.path.join(ckpt_dir, f"{name}_{epoch}_state.npz")
+
+
+def save_checkpoint(ckpt_dir: str, name: str, epoch: int, train_state: Any,
+                    meta: dict | None = None) -> str:
+    """Atomic save (tmp + rename) of the full training pytree."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = checkpoint_path(ckpt_dir, name, epoch)
+    tmp = path + ".tmp"
+    flat = _flatten(jax.device_get(train_state))
+    with open(tmp, "wb") as f:
+        np.savez(f, __meta__=json.dumps(meta or {}), **flat)
+    os.replace(tmp, path)
+    return path
+
+
+def restore_checkpoint(path: str, target: Any) -> tuple[Any, dict]:
+    """Restore into `target`'s structure; returns (state, meta).
+
+    Every leaf in `target` must exist in the file with a matching shape —
+    a shape/width mismatch (wrong config) fails loudly.
+    """
+    with np.load(path, allow_pickle=False) as data:
+        meta = json.loads(str(data["__meta__"]))
+        stored = {k: data[k] for k in data.files if k != "__meta__"}
+    paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(target)
+    leaves = []
+    for path_t, leaf in paths_leaves:
+        key = jax.tree_util.keystr(path_t)
+        if key not in stored:
+            raise KeyError(f"checkpoint missing leaf {key}")
+        arr = stored[key]
+        if tuple(arr.shape) != tuple(np.shape(leaf)):
+            raise ValueError(
+                f"shape mismatch for {key}: checkpoint {arr.shape} vs "
+                f"target {np.shape(leaf)}")
+        leaves.append(arr.astype(np.asarray(leaf).dtype))
+    return jax.tree_util.tree_unflatten(treedef, leaves), meta
+
+
+def restore_latest(ckpt_dir: str, name: str, target: Any):
+    """Resume from the highest-epoch checkpoint, or None if none exist
+    (the loadName/loadIter finetune path, train_vid_weighted.lua:242-257)."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    pat = re.compile(re.escape(name) + r"_(\d+)_state\.npz$")
+    best, best_epoch = None, -1
+    for fn in os.listdir(ckpt_dir):
+        m = pat.match(fn)
+        if m and int(m.group(1)) > best_epoch:
+            best, best_epoch = fn, int(m.group(1))
+    if best is None:
+        return None
+    state, meta = restore_checkpoint(os.path.join(ckpt_dir, best), target)
+    return state, meta, best_epoch

@@ -1,0 +1,155 @@
+"""Experiment configuration.
+
+The reference configures every entry script with a Lua defaults table overridden
+by environment variables (``train.lua:6-35``: ``tonumber(os.getenv(k)) or
+os.getenv(k) or opt[k]``, repeated in demo.lua:15, test.lua:24, ...).  We keep
+the exact variable names so reference run commands translate 1:1, but fold all
+regimes into one dataclass plus TPU-specific extensions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+from typing import Any
+
+
+def _coerce(raw: str, default: Any) -> Any:
+    """Reference coercion order: number first, else raw string (train.lua:35)."""
+    try:
+        num = float(raw)
+    except ValueError:
+        return raw
+    if isinstance(default, bool):
+        return bool(num)
+    if isinstance(default, int) and num == int(num):
+        return int(num)
+    if isinstance(default, str):
+        return raw
+    return num
+
+
+@dataclasses.dataclass
+class Opt:
+    """Unified config covering every reference entry script.
+
+    Field names/defaults follow the reference opt tables:
+    train.lua:6-34 (image CE), train_vid_weighted.lua:16-49 (video),
+    train_wholeim_input.lua:35-73 (patch-array), train_logo_withmask.lua (pairs).
+    """
+
+    # --- core (train.lua:6-27) ---
+    batchSize: int = 64
+    loadSize: int = 350          # short-side resize; 0 = none; -1/-2 = random scale
+    fineSize: int = 128          # random crop size
+    nBottleneck: int = 100
+    nef: int = 64
+    ngf: int = 64
+    ndf: int = 64
+    nc: int = 3
+    wtl2: float = 0.0            # reconstruction weight (0 = adversarial only)
+    overlapPred: int = 0         # context ring inside the center hole
+    nThreads: int = 4
+    niter: int = 25
+    lr: float = 2e-4
+    beta1: float = 0.5
+    ntrain: float = math.inf
+    display: bool = True
+    display_iter: int = 50
+    name: str = "train1"
+    manualSeed: int = 0
+
+    # --- extra options (train.lua:29-33) ---
+    conditionAdv: bool = False
+    noiseGen: bool = False
+    noisetype: str = "normal"    # "uniform" | "normal"
+    nz: int = 100
+
+    # --- video regime (train_vid_weighted.lua:23-49) ---
+    predLen: int = 1             # frames per clip, channel-folded
+    weight_nomask: float = 1.0   # λ: non-mask L2 weight; 0 = hard composite
+    wtgdl: float = 0.0           # gradient-difference-loss weight
+    maskName: str = ""           # logo mask PNG
+    maskValue: float = 110.0 / 255.0
+    loadName: str = ""           # finetune checkpoint name
+    loadIter: int = 0
+    withInit: bool = False       # initializer-network cascade
+    initName: str = ""
+
+    # --- whole-image patch-array regime (train_wholeim_input.lua:42-43,76-77) ---
+    array_h: int = 3
+    array_w: int = 3
+    out_h: int = 2               # hardcoded 2x2 output patches in reference
+    out_w: int = 2
+
+    # --- data locations ---
+    DATA_ROOT: str = ""
+    DATA_ROOT_GT: str = ""       # second folder for the logo-pair regime
+    imDir: str = ""              # demo.lua image dir
+    net: str = ""                # demo.lua checkpoint path
+
+    # --- video corpus (configurable; hardcoded in datavid/dataset.lua:344-378) ---
+    vidExts: str = ""            # comma-separated per-video filename suffixes
+    vidCounts: str = ""          # comma-separated per-video frame counts
+    gt1Prob: float = 0.4         # probability of sampling the gt1/ variant dir
+
+    # --- TPU-native extensions (no reference equivalent) ---
+    computeDtype: str = "bfloat16"   # conv/matmul compute dtype; params stay f32
+    dataParallel: int = 0            # 0 = all local devices on the data axis
+    modelParallel: int = 1           # TP axis size (shards bottleneck matmul)
+    checkpointEvery: int = 20        # epochs (train.lua:460; wholeim uses 2)
+    checkpointDir: str = "checkpoints"
+    logEvery: int = 1
+    gdlTorchQuirk: bool = False      # reproduce reference GDL-backward-is-MSE bug
+    useBias: bool = False            # reference zeroes conv biases every step
+    prefetchDepth: int = 2
+
+    def __post_init__(self) -> None:
+        if self.fineSize % 4 != 0:
+            raise ValueError("fineSize must be divisible by 4")
+
+    @property
+    def nc_total(self) -> int:
+        """Channel-folded input width (train_vid_weighted.lua:96)."""
+        return self.nc * self.predLen
+
+    @property
+    def nc_wholeim_in(self) -> int:
+        """Patch-array input channels (train_wholeim_input.lua:118)."""
+        return self.nc * self.array_h * self.array_w * self.predLen
+
+    @property
+    def nc_wholeim_out(self) -> int:
+        """Patch-array output channels (train_wholeim_input.lua:119)."""
+        return self.nc * self.out_h * self.out_w
+
+    def replace(self, **kw: Any) -> "Opt":
+        return dataclasses.replace(self, **kw)
+
+
+def from_env(base: Opt | None = None, environ: dict[str, str] | None = None) -> Opt:
+    """Env-var override shim matching train.lua:35 semantics."""
+    env = os.environ if environ is None else environ
+    opt = base or Opt()
+    updates = {}
+    for f in dataclasses.fields(opt):
+        raw = env.get(f.name)
+        if raw is not None:
+            updates[f.name] = _coerce(raw, getattr(opt, f.name))
+    return opt.replace(**updates) if updates else opt
+
+
+def from_args(argv: list[str], base: Opt | None = None) -> Opt:
+    """CLI override: ``key=value`` pairs, same names/coercion as the env shim."""
+    opt = from_env(base)
+    updates = {}
+    names = {f.name: f for f in dataclasses.fields(opt)}
+    for arg in argv:
+        if "=" not in arg:
+            raise SystemExit(f"expected key=value, got {arg!r}")
+        k, v = arg.split("=", 1)
+        if k not in names:
+            raise SystemExit(f"unknown option {k!r}")
+        updates[k] = _coerce(v, getattr(opt, k))
+    return opt.replace(**updates) if updates else opt

@@ -1,0 +1,107 @@
+"""Device mesh + sharding rules — the framework's distributed story.
+
+The reference trains on ONE GPU (`cutorch.setDevice`, train.lua:248-258); its
+only parallelism is threaded data loading (data/data.lua:26-60).  Here
+parallelism is first-class and TPU-native:
+
+* a 2-D ``Mesh`` with axes ``('data', 'model')``;
+* **DP**: the batch is sharded over ``data`` — under jit, XLA turns the loss
+  gradient into per-shard compute + an ``all-reduce`` over ICI (the
+  BASELINE.json north star).  BatchNorm statistics are global automatically:
+  the batch-axis mean inside the jitted step becomes a psum over the mesh.
+* **TP** (optional, ``model`` axis > 1): the two giant bottleneck "matmuls"
+  (encoder 4x4-valid conv to nBottleneck — e.g. 8*64*16 x 4000 — and the
+  mirror decoder head) shard their nBottleneck dimension; XLA inserts the
+  contraction collectives.  Everything else is replicated (the convs are
+  small).
+* multi-host: ``jax.distributed.initialize`` + the same mesh spanning all
+  processes; data sharding uses per-host arrays
+  (``jax.make_array_from_process_local_data``).
+
+No NCCL/MPI translation — shardings in, collectives out.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(n_data: int | None = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    """Build a ('data','model') mesh. Default: all devices on the data axis.
+
+    With multiple ICI-connected hosts the flat device list is contiguous per
+    host, so a 2-D reshape keeps model groups intra-host/slice (TP traffic on
+    the fastest links) and DP across the rest.
+    """
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if n_data is None or n_data <= 0:
+        n_data = devices.size // n_model
+    assert n_data * n_model <= devices.size, (
+        f"mesh {n_data}x{n_model} needs more than {devices.size} devices")
+    grid = devices[: n_data * n_model].reshape(n_data, n_model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def _param_spec(path: tuple, leaf, tp: bool) -> P:
+    """TP rules keyed on the param-tree path.
+
+    Generator bottleneck (models/context_encoder.py):
+      enc/conv5/w   (4,4,8nef,nB)  -> shard nB (out channels)
+      bott_bn/{gamma,beta}  (nB,)  -> shard
+      dec/up0/w     (4,4,nB,8ngf)  -> shard nB (in channels)
+    Everything else replicated.
+    """
+    if not tp:
+        return P()
+    keys = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+    joined = "/".join(str(k) for k in keys)
+    if joined.endswith("enc/conv5/w"):
+        return P(None, None, None, MODEL_AXIS)
+    if "bott_bn" in joined and keys[-1] in ("gamma", "beta", "mean", "var"):
+        return P(MODEL_AXIS)
+    if joined.endswith("dec/up0/w"):
+        return P(None, None, MODEL_AXIS, None)
+    return P()
+
+
+def state_shardings(mesh: Mesh, train_state: Any) -> Any:
+    """A TrainState-shaped pytree of NamedShardings.
+
+    Params/opt-state follow the TP rules (opt-state mirrors the param tree, so
+    the same path matching applies); BN running stats follow their params;
+    step is replicated.
+    """
+    tp = mesh.shape[MODEL_AXIS] > 1
+
+    def spec_of(path, leaf):
+        return NamedSharding(mesh, _param_spec(path, leaf, tp))
+
+    return jax.tree_util.tree_map_with_path(spec_of, train_state)
+
+
+def shard_train_state(mesh: Mesh, train_state: Any) -> Any:
+    """device_put the state with its shardings (replicated or TP-sharded)."""
+    return jax.device_put(train_state, state_shardings(mesh, train_state))
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """device_put a host batch sharded over the data axis."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

@@ -1,0 +1,267 @@
+"""The fused GAN train step — fDx + fGx + both Adam updates as ONE XLA program.
+
+The reference alternates two optim.adam closures per batch (train.lua:421-424):
+fDx builds D's gradient from a real pass and a fake pass (train.lua:278-350),
+fGx reuses D's fake-pass output and blends the adversarial gradient with a
+(ring-/mask-)weighted L2 gradient (train.lua:353-409).  Here the whole thing is
+a single jitted function: one G forward, two D forwards (real/fake), one joint
+backward, two Adam updates — XLA fuses preprocessing, conv chains, losses and
+optimizer math, and under a sharded mesh inserts the ICI all-reduces.
+
+Faithfulness notes:
+* One batch per step, used by both updates — same as the reference (fGx reuses
+  fDx's batch and fake, train.lua:359-365).
+* The reference updates D *before* computing G's gradient, but G's backward
+  then mixes D's *old* activations with *new* weights (Torch caches
+  activations; see SURVEY §2.7.4).  We compute both gradients at the current
+  (θG, θD) and apply both updates — the clean simultaneous form; documented
+  divergence, not a behavior to replicate.
+* Conv biases: the reference zeroes every conv bias at the top of both
+  closures (train.lua:279-280,354-355), making them permanently zero.  We build
+  bias-free convs (config `useBias=False`) — identical math, no dead params.
+* G's learning rate is 10x D's iff 0<wtl2<1 (train.lua:218-222).
+* Adam: optim.adam semantics (b1=opt.beta1, b2=0.999, eps=1e-8); Torch adds
+  eps to sqrt(v) before bias correction, optax after — difference O(eps),
+  documented.
+* GDL: correct form by default; `gdlTorchQuirk=True` reproduces the reference
+  bug where the GDL term backpropagates an MSE gradient
+  (train_vid_weighted.lua:524-525) while still logging the GDL forward value.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from video_filler_tpu.config import Opt
+from video_filler_tpu.models import build_discriminator, build_generator, specs_for_regime
+from video_filler_tpu.ops import image as image_ops
+from video_filler_tpu.ops import losses, masks
+
+
+class TrainState(NamedTuple):
+    params_g: Any
+    params_d: Any
+    state_g: Any     # BatchNorm running statistics
+    state_d: Any
+    opt_g: Any
+    opt_d: Any
+    step: jax.Array
+
+
+def _optimizers(opt: Opt):
+    """Two Adams; G LR is 10x D's when 0<wtl2<1 (train.lua:218-226)."""
+    g_lr = opt.lr * 10.0 if 0.0 < opt.wtl2 < 1.0 else opt.lr
+    adam = lambda lr: optax.adam(lr, b1=opt.beta1, b2=0.999, eps=1e-8)
+    return adam(g_lr), adam(opt.lr)
+
+
+def init_train_state(key: jax.Array, opt: Opt, regime: str) -> TrainState:
+    gspec, dspec = specs_for_regime(opt, regime)
+    gen, disc = build_generator(gspec), build_discriminator(dspec)
+    kg, kd = jax.random.split(key)
+    params_g, state_g = gen.init(kg)
+    params_d, state_d = disc.init(kd)
+    tx_g, tx_d = _optimizers(opt)
+    return TrainState(params_g, params_d, state_g, state_d,
+                      tx_g.init(params_g), tx_d.init(params_d),
+                      jnp.zeros((), jnp.int32))
+
+
+def _draw_noise(key, opt: Opt, batch: int):
+    """fDx regenerates noise every step (train.lua:319-323)."""
+    shape = (batch, 1, 1, opt.nz)
+    if opt.noisetype == "uniform":
+        return jax.random.uniform(key, shape, minval=-1.0, maxval=1.0)
+    return jax.random.normal(key, shape)
+
+
+def make_train_step(opt: Opt, regime: str, with_init: bool = False):
+    """Build the fused step for a regime ('center'|'video'|'logo'|'wholeim').
+
+    Returns step(state, batch, key[, init_net]) -> (state, metrics).
+
+    Batch contract (all NHWC float in [-1,1] unless noted):
+      center : {'real': (B,fs,fs,nc)}
+      video  : {'real': (B,fs,fs,nc*predLen), 'mask': (B,fs,fs,1 or C) {0,1}}
+      logo   : {'real': gt, 'masked': masked input}
+      wholeim: {'real': (B,fs,fs,nc*4) target patches,
+                'mask': same-shape {0,1},
+                'masked': (B,fs,fs,nc*arrh*arrw) input patch array}
+    """
+    gspec, dspec = specs_for_regime(opt, regime)
+    gen, disc = build_generator(gspec), build_discriminator(dspec)
+    tx_g, tx_d = _optimizers(opt)
+    wtl2 = float(opt.wtl2)
+    adv_coef = (1.0 - wtl2) if 0.0 < wtl2 < 1.0 else 1.0
+    lam = float(opt.weight_nomask)
+
+    if with_init:
+        init_gen = build_generator(gspec)  # initializer shares the G topology
+
+    def _prepare(batch, key):
+        """Regime-specific (ctx, d_real_input, target, l2_weights, mask)."""
+        if regime == "center":
+            real = batch["real"]
+            real_center = masks.extract_center(real)
+            ctx = masks.center_mask_fill(real, opt.overlapPred)
+            if opt.overlapPred > 0:
+                w = losses.overlap_l2_weights(
+                    (real_center.shape[1], real_center.shape[2]),
+                    opt.overlapPred, wtl2)[None]
+            else:
+                w = jnp.float32(wtl2)
+            return ctx, real_center, real_center, w, None
+        if regime == "video":
+            real, mask = batch["real"], batch["mask"]
+            ctx = masks.apply_logo_mask(real, mask, opt.maskValue)
+            w = jnp.float32(wtl2) * losses.mask_l2_weights(
+                mask.astype(jnp.float32), lam)
+            return ctx, real, real, w, mask
+        if regime == "logo":
+            real = batch["real"]
+            ctx = batch["masked"]
+            return ctx, real, real, jnp.float32(wtl2), None
+        if regime == "wholeim":
+            real, mask = batch["real"], batch["mask"]
+            ctx = batch["masked"]
+            w = jnp.float32(wtl2) * losses.mask_l2_weights(
+                mask.astype(jnp.float32), lam)
+            return ctx, real, real, w, mask
+        raise ValueError(regime)
+
+    def step(state: TrainState, batch, key, init_net=None):
+        k_noise, k_prep = jax.random.split(key)
+        ctx, d_real, target, l2_w, mask = _prepare(batch, k_prep)
+
+        if with_init:
+            # Initializer cascade: composite netI's prediction into the masked
+            # region of the context before G sees it (train_mycrit.lua:402-405).
+            init_params, init_state = init_net
+            fake_init, _ = init_gen.apply(init_params, init_state, ctx,
+                                          train=False)
+            ctx = masks.fill_in(ctx, mask, fake_init)
+
+        noise = _draw_noise(k_noise, opt, ctx.shape[0]) if opt.noiseGen else None
+        g_in = (ctx, noise) if opt.noiseGen else ctx
+
+        def loss_fn(params_g, params_d):
+            fake, new_state_g = gen.apply(params_g, state.state_g, g_in,
+                                          train=True)
+            # weight_nomask==0: hard composite — only masked pixels come from G,
+            # so gradients flow only through the hole (train_vid_weighted.lua:429-434).
+            if regime in ("video", "wholeim") and lam == 0.0:
+                d_fake = masks.fill_in(target, mask, fake)
+            else:
+                d_fake = fake
+
+            def d_in(x):
+                return (ctx, x) if opt.conditionAdv else x
+
+            # --- D loss: real pass then fake pass, BN stats updated in order
+            # (train.lua:299-345). stop_gradient(fake): D's update must not
+            # backprop into G.
+            logit_real, sd1 = disc.apply(params_d, state.state_d,
+                                         d_in(d_real), train=True)
+            logit_fake, new_state_d = disc.apply(
+                params_d, sd1, d_in(jax.lax.stop_gradient(d_fake)), train=True)
+            err_d_real = losses.bce_with_logits(logit_real, 1.0)
+            err_d_fake = losses.bce_with_logits(logit_fake, 0.0)
+            loss_d = err_d_real + err_d_fake
+
+            # --- G adversarial term: the reference reuses D's fake-pass output
+            # (train.lua:365); same forward here with D's params frozen.
+            logit_fake_g, _ = disc.apply(
+                jax.lax.stop_gradient(params_d), sd1, d_in(d_fake), train=True)
+            err_g = losses.bce_with_logits(logit_fake_g, 1.0)
+            loss_g = adv_coef * err_g
+            err_g_l2 = jnp.float32(0.0)
+            if wtl2 != 0.0:
+                err_g_l2 = losses.mse(d_fake, target)  # logged unweighted
+                loss_g = loss_g + losses.weighted_mse(d_fake, target, l2_w)
+            err_g_gdl = jnp.float32(0.0)
+            if opt.wtgdl != 0.0:
+                gdl_val = losses.gdl(d_fake, target)
+                if opt.gdlTorchQuirk:
+                    # Reference bug: GDL forward logged, MSE gradient applied
+                    # (train_vid_weighted.lua:524-525).
+                    loss_g = loss_g + opt.wtgdl * (
+                        losses.mse(d_fake, target)
+                        - jax.lax.stop_gradient(losses.mse(d_fake, target))
+                        + jax.lax.stop_gradient(gdl_val))
+                else:
+                    loss_g = loss_g + opt.wtgdl * gdl_val
+                err_g_gdl = gdl_val
+
+            aux = dict(new_state_g=new_state_g, new_state_d=new_state_d,
+                       errD=loss_d, errD_real=err_d_real, errD_fake=err_d_fake,
+                       errG=err_g, errG_l2=err_g_l2, errG_gdl=err_g_gdl,
+                       errG_total=(adv_coef * err_g + wtl2 * err_g_l2
+                                   + opt.wtgdl * err_g_gdl))
+            # loss_d depends only on params_d (fake is stopped); loss_g only on
+            # params_g (D params stopped) — one backward yields both gradients.
+            return loss_g + loss_d, aux
+
+        (_, aux), (grad_g, grad_d) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(state.params_g, state.params_d)
+
+        upd_g, opt_g = tx_g.update(grad_g, state.opt_g, state.params_g)
+        upd_d, opt_d = tx_d.update(grad_d, state.opt_d, state.params_d)
+        new_state = TrainState(
+            optax.apply_updates(state.params_g, upd_g),
+            optax.apply_updates(state.params_d, upd_d),
+            aux["new_state_g"], aux["new_state_d"],
+            opt_g, opt_d, state.step + 1)
+        metrics = {k: aux[k] for k in
+                   ("errD", "errD_real", "errD_fake", "errG", "errG_l2",
+                    "errG_gdl", "errG_total")}
+        return new_state, metrics
+
+    return step
+
+
+def make_preprocess(opt: Opt, regime: str):
+    """Device-side preprocessing: uint8 batch → step batch, jit-fusable.
+
+    Host delivers decoded frames as uint8 (see data/); this performs the
+    donkey's crop/flip/normalize/mask work on device
+    (data/donkey_folder.lua:70-88, datavid/donkey_folder.lua:138-186).
+    """
+
+    def center(raw: jax.Array, key: jax.Array):
+        """raw: (B, H, W, nc) uint8, H,W >= fineSize."""
+        k_crop, k_flip = jax.random.split(key)
+        x = raw
+        if raw.shape[1] != opt.fineSize or raw.shape[2] != opt.fineSize:
+            x = image_ops.random_crop(k_crop, x, opt.fineSize)
+        x = image_ops.normalize_uint8(x)
+        x = image_ops.random_hflip(k_flip, x)
+        return {"real": x}
+
+    def video(raw: jax.Array, mask: jax.Array, key: jax.Array):
+        """raw: (B, H, W, nc*predLen) uint8 channel-folded clip;
+        mask: (H, W, 1) or (B, H, W, 1) uint8 {0,1} logo mask at load size.
+        Random crop shared across frames and mask; empty crops fall back to
+        random blocks; flip applied to all (datavid/donkey_folder.lua:138-186)."""
+        k_crop, k_blk, k_flip = jax.random.split(key, 3)
+        b = raw.shape[0]
+        if mask.ndim == 3:
+            mask = jnp.broadcast_to(mask[None], (b,) + mask.shape)
+        both = jnp.concatenate([raw.astype(jnp.uint8),
+                                mask.astype(jnp.uint8)], axis=-1)
+        if raw.shape[1] != opt.fineSize or raw.shape[2] != opt.fineSize:
+            both = image_ops.random_crop(k_crop, both, opt.fineSize)
+        x, m = both[..., :-1], both[..., -1:]
+        m = masks.mask_or_random_block(k_blk, m.astype(jnp.float32))
+        x = image_ops.normalize_uint8(x)
+        x, m = image_ops.random_hflip(k_flip, x, 0.5, m)
+        return {"real": x, "mask": m}
+
+    if regime == "center":
+        return center
+    if regime in ("video",):
+        return video
+    raise ValueError(f"no device preprocess for regime {regime!r}")
