@@ -35,7 +35,7 @@ def main() -> None:
 
     def _fused(state, raw, key):
         k_prep, k_step = jax.random.split(key)
-        batch = preprocess(raw, k_prep)
+        batch = preprocess({"raw": raw}, k_prep)
         return train_step(state, batch, k_step)
 
     fused = jax.jit(_fused, donate_argnums=0)

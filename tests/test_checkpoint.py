@@ -1,0 +1,69 @@
+"""Checkpoint roundtrip: params, BN stats, BOTH Adam states, step counter."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_filler_tpu.checkpoint import (
+    restore_checkpoint,
+    restore_latest,
+    save_checkpoint,
+)
+from video_filler_tpu.config import Opt
+from video_filler_tpu.train import init_train_state, make_train_step
+
+TINY = dict(nef=8, ngf=8, ndf=8, nBottleneck=32, batchSize=2,
+            computeDtype="float32")
+
+
+def _batch(b=2):
+    rs = np.random.RandomState(0)
+    return {"real": jnp.asarray(rs.rand(b, 128, 128, 3).astype(np.float32)
+                                * 2 - 1)}
+
+
+def test_roundtrip_exact_resume(tmp_path, rng):
+    opt = Opt(wtl2=0.999, **TINY)
+    step = jax.jit(make_train_step(opt, "center"))
+    state = init_train_state(rng, opt, "center")
+    state, _ = step(state, _batch(), jax.random.PRNGKey(1))
+
+    path = save_checkpoint(str(tmp_path), "exp", 1, state,
+                           meta={"regime": "center"})
+    target = init_train_state(jax.random.PRNGKey(9), opt, "center")
+    restored, meta = restore_checkpoint(path, target)
+    assert meta["regime"] == "center"
+    assert int(restored.step) == 1
+
+    # continuing from restored state is bit-identical to continuing original
+    k = jax.random.PRNGKey(2)
+    a, _ = step(state, _batch(), k)
+    b, _ = step(restored, _batch(), k)
+    for la, lb in zip(jax.tree.leaves(a.params_g), jax.tree.leaves(b.params_g)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    for la, lb in zip(jax.tree.leaves(a.opt_g), jax.tree.leaves(b.opt_g)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_restore_latest(tmp_path, rng):
+    opt = Opt(**TINY)
+    state = init_train_state(rng, opt, "center")
+    save_checkpoint(str(tmp_path), "exp", 2, state)
+    save_checkpoint(str(tmp_path), "exp", 10, state)
+    save_checkpoint(str(tmp_path), "other", 99, state)
+    target = init_train_state(jax.random.PRNGKey(1), opt, "center")
+    out = restore_latest(str(tmp_path), "exp", target)
+    assert out is not None
+    _, _, epoch = out
+    assert epoch == 10
+    assert restore_latest(str(tmp_path), "missing", target) is None
+
+
+def test_shape_mismatch_fails_loudly(tmp_path, rng):
+    opt = Opt(**TINY)
+    state = init_train_state(rng, opt, "center")
+    path = save_checkpoint(str(tmp_path), "exp", 1, state)
+    wrong = init_train_state(rng, opt.replace(nef=16), "center")
+    with pytest.raises(ValueError, match="shape mismatch"):
+        restore_checkpoint(path, wrong)

@@ -1,0 +1,152 @@
+"""Data subsystem tests: index, decode, samplers, threaded loader."""
+
+import os
+
+import numpy as np
+import pytest
+
+from video_filler_tpu.config import Opt
+from video_filler_tpu.data import synthetic
+from video_filler_tpu.data.decode import (
+    decode_image,
+    load_and_resize,
+    short_side_resize,
+)
+from video_filler_tpu.data.index import FolderIndex, PairedIndex, VideoCorpus
+from video_filler_tpu.data.pipeline import (
+    DataLoader,
+    center_sampler,
+    load_mask,
+    logo_sampler,
+    make_sampler,
+    video_sampler,
+    wholeim_sampler,
+)
+
+
+@pytest.fixture(scope="module")
+def image_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("imgs"))
+    return synthetic.make_image_folder(root, n=6)
+
+
+@pytest.fixture(scope="module")
+def video_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("vids"))
+    synthetic.make_video_corpus(root, n_videos=2, frames=10)
+    synthetic.make_mask_png(os.path.join(root, "mask.png"))
+    return root
+
+
+def test_folder_index_and_sampling(image_root):
+    idx = FolderIndex(image_root, use_cache=False)
+    assert idx.size() == 6
+    rs = np.random.RandomState(0)
+    paths = idx.sample(rs, 4)
+    assert len(paths) == 4 and all(os.path.exists(p) for p in paths)
+    seq = idx.get(0, 3)
+    assert len(seq) == 3
+
+
+def test_folder_index_split(image_root):
+    idx = FolderIndex(image_root, split=50, use_cache=False)
+    assert idx.size("train") == 3 and idx.size("test") == 3
+    assert not (set(idx.train_files["images"]) & set(idx.test_files["images"]))
+
+
+def test_decode_and_short_side_resize(image_root):
+    idx = FolderIndex(image_root, use_cache=False)
+    p = idx.get(0, 1)[0]
+    img = decode_image(p)
+    assert img.dtype == np.uint8 and img.shape == (160, 200, 3)
+    r = short_side_resize(img, 120)
+    assert min(r.shape[:2]) == 120
+    assert abs(r.shape[1] / r.shape[0] - 200 / 160) < 0.02  # aspect preserved
+    assert short_side_resize(img, 0).shape == img.shape
+    rnd = short_side_resize(img, -1, np.random.RandomState(0))
+    assert 0.45 <= rnd.shape[0] / 160 <= 1.55
+
+
+def test_center_sampler(image_root):
+    opt = Opt(batchSize=3, loadSize=140, fineSize=128)
+    idx = FolderIndex(image_root, use_cache=False)
+    batch = center_sampler(opt, idx)(np.random.RandomState(0))
+    assert batch["raw"].shape == (3, 128, 128, 3)
+    assert batch["raw"].dtype == np.uint8
+
+
+def test_video_corpus_discovery_and_clip(video_root):
+    corpus = VideoCorpus(video_root)
+    assert len(corpus.suffixes) == 2
+    assert corpus.counts == [10, 10]
+    rs = np.random.RandomState(0)
+    clip = corpus.sample_clip(rs, 4)
+    assert len(clip) == 4 and all(os.path.exists(p) for p in clip)
+    # consecutive frames of the same video/variant
+    names = [os.path.basename(p) for p in clip]
+    nums = [int(n.split("_")[0]) for n in names]
+    assert nums == list(range(nums[0], nums[0] + 4))
+    assert len({n.split("_")[1] for n in names}) == 1
+
+
+def test_video_sampler(video_root):
+    opt = Opt(batchSize=2, loadSize=150, fineSize=128, predLen=3)
+    corpus = VideoCorpus(video_root)
+    mask = load_mask(os.path.join(video_root, "mask.png"))
+    batch = video_sampler(opt, corpus, mask)(np.random.RandomState(1))
+    assert batch["raw"].shape == (2, 128, 128, 9)
+    assert batch["mask"].shape == (2, 128, 128, 1)
+    assert set(np.unique(batch["mask"])) <= {0, 1}
+
+
+def test_logo_sampler(tmp_path):
+    masked_root, gt_root = synthetic.make_paired_folders(str(tmp_path), n=4)
+    opt = Opt(batchSize=2, loadSize=140, fineSize=128)
+    paired = PairedIndex(masked_root, gt_root)
+    batch = logo_sampler(opt, paired)(np.random.RandomState(0))
+    assert batch["raw_masked"].shape == (2, 128, 128, 3)
+    assert batch["raw_gt"].shape == (2, 128, 128, 3)
+    # pairs got the same crop: non-masked pixels must match
+    diff = batch["raw_masked"].astype(int) - batch["raw_gt"].astype(int)
+    assert (np.abs(diff) > 0).mean() < 0.5
+
+
+def test_wholeim_sampler(video_root):
+    opt = Opt(batchSize=2, loadSize=360, fineSize=128,
+              maskName=os.path.join(video_root, "mask.png"))
+    corpus = VideoCorpus(video_root)
+    mask = load_mask(opt.maskName)
+    batch = wholeim_sampler(opt, corpus, mask)(np.random.RandomState(2))
+    assert batch["raw_masked"].shape == (2, 128, 128, 27)
+    assert batch["raw_real"].shape == (2, 128, 128, 12)
+    assert batch["mask"].shape == (2, 128, 128, 12)
+
+
+def test_make_sampler_dispatch(image_root, video_root):
+    opt = Opt(batchSize=2, loadSize=140, DATA_ROOT=image_root)
+    s, size = make_sampler(opt, "center")
+    assert size == 6
+    optv = Opt(batchSize=1, loadSize=150, predLen=2, DATA_ROOT=video_root,
+               maskName=os.path.join(video_root, "mask.png"))
+    s, size = make_sampler(optv, "video")
+    assert size == 20
+    assert s(np.random.RandomState(0))["raw"].shape == (1, 128, 128, 6)
+
+
+def test_dataloader_threads_and_sync(image_root):
+    opt = Opt(batchSize=2, loadSize=140)
+    idx = FolderIndex(image_root, use_cache=False)
+    sampler = center_sampler(opt, idx)
+    with DataLoader(sampler, n_threads=2, seed=7) as dl:
+        shapes = {dl.get_batch()["raw"].shape for _ in range(5)}
+    assert shapes == {(2, 128, 128, 3)}
+    sync = DataLoader(sampler, n_threads=0, seed=7)
+    assert sync.get_batch()["raw"].shape == (2, 128, 128, 3)
+
+
+def test_index_cache_roundtrip(image_root, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    idx1 = FolderIndex(image_root, use_cache=True)
+    assert os.path.exists("cache")
+    idx2 = FolderIndex(image_root, use_cache=True)  # from cache
+    assert idx2.class_files == idx1.class_files

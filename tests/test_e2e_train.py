@@ -1,0 +1,80 @@
+"""End-to-end seeded smoke trains through the real loop: synthetic folder ->
+threaded loader -> device preprocess -> fused step -> checkpoint, per regime."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from video_filler_tpu.config import Opt
+from video_filler_tpu.data import synthetic
+from video_filler_tpu.train.loop import train
+
+TINY = dict(nef=8, ngf=8, ndf=8, nBottleneck=32, batchSize=2, nThreads=2,
+            computeDtype="float32", niter=1, ntrain=8, manualSeed=222,
+            display=False, checkpointEvery=1)
+
+
+@pytest.fixture(scope="module")
+def image_root(tmp_path_factory):
+    return synthetic.make_image_folder(str(tmp_path_factory.mktemp("imgs")),
+                                       n=6)
+
+
+@pytest.fixture(scope="module")
+def video_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("vids"))
+    synthetic.make_video_corpus(root, n_videos=2, frames=8)
+    synthetic.make_mask_png(os.path.join(root, "mask.png"))
+    return root
+
+
+def test_center_e2e(image_root, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    opt = Opt(DATA_ROOT=image_root, loadSize=140, wtl2=0.999, **TINY)
+    state = train(opt, "center", quiet=True)
+    # min(dataset=6, ntrain=8) // batch 2 = 3 steps (train.lua:418 semantics)
+    assert int(state.step) == 3
+    assert glob.glob("checkpoints/train1_1_state.npz")
+    assert os.path.exists("logs/train1.jsonl")
+
+
+def test_video_e2e_with_resume(video_root, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    opt = Opt(DATA_ROOT=video_root, loadSize=150, predLen=2, wtl2=0.999,
+              weight_nomask=0.05, maskName=os.path.join(video_root, "mask.png"),
+              **TINY)
+    state = train(opt, "video", quiet=True)
+    assert int(state.step) == 4
+    # finetune resume (loadName/loadIter path)
+    opt2 = opt.replace(loadName="train1", loadIter=1, niter=2)
+    state2 = train(opt2, "video", quiet=True)
+    assert int(state2.step) == 8
+
+
+def test_logo_e2e(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    masked_root, gt_root = synthetic.make_paired_folders(str(tmp_path / "d"),
+                                                         n=6)
+    opt = Opt(DATA_ROOT=masked_root, DATA_ROOT_GT=gt_root, loadSize=140,
+              wtl2=0.999, **TINY)
+    state = train(opt, "logo", quiet=True)
+    assert int(state.step) == 3  # min(6, 8) // 2
+
+
+def test_wholeim_e2e(video_root, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    opt = Opt(DATA_ROOT=video_root, loadSize=256, wtl2=0.999,
+              maskName=os.path.join(video_root, "mask.png"), **TINY)
+    state = train(opt, "wholeim", quiet=True)
+    assert int(state.step) == 4
+
+
+def test_display_grids_written(image_root, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    opt = Opt(DATA_ROOT=image_root, loadSize=140, wtl2=0.999,
+              **{**TINY, "display": True, "display_iter": 2})
+    train(opt, "center", quiet=True)
+    assert glob.glob("display/train1_*_fake.png")
+    assert glob.glob("display/train1_*_inpaint.png")

@@ -1,0 +1,105 @@
+"""Eval-script tests: train a tiny checkpoint per regime, then run each eval
+path end-to-end and check artifacts + semantics (paste-back, compositing,
+vflip trick)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from video_filler_tpu.config import Opt
+from video_filler_tpu.data import synthetic
+from video_filler_tpu.eval.demo import run_demo
+from video_filler_tpu.eval.test_patch import run_test
+from video_filler_tpu.eval.video import run_test_vid
+from video_filler_tpu.eval.wholeim import run_wholeim
+from video_filler_tpu.train.loop import train
+
+TINY = dict(nef=8, ngf=8, ndf=8, nBottleneck=32, batchSize=2, nThreads=0,
+            computeDtype="float32", niter=1, ntrain=4, manualSeed=222,
+            display=False, checkpointEvery=1)
+
+
+@pytest.fixture(scope="module")
+def center_setup(tmp_path_factory):
+    """Image folder + a 1-epoch center checkpoint."""
+    work = tmp_path_factory.mktemp("center")
+    os.chdir(work)
+    root = synthetic.make_image_folder(str(work / "data"), n=4, h=150, w=180)
+    opt = Opt(DATA_ROOT=root, loadSize=140, wtl2=0.999, overlapPred=4,
+              name="ce", **TINY)
+    train(opt, "center", quiet=True)
+    return opt.replace(net="checkpoints/ce_1_state.npz"), str(work)
+
+
+@pytest.fixture(scope="module")
+def video_setup(tmp_path_factory):
+    work = tmp_path_factory.mktemp("video")
+    os.chdir(work)
+    root = synthetic.make_video_corpus(str(work / "data"), n_videos=2,
+                                       frames=8, h=180, w=240)
+    mask = synthetic.make_mask_png(str(work / "mask.png"), h=180, w=240)
+    opt = Opt(DATA_ROOT=root, loadSize=150, predLen=2, wtl2=0.999,
+              weight_nomask=0.05, maskName=mask, name="vid", **TINY)
+    train(opt, "video", quiet=True)
+    return opt.replace(net="checkpoints/vid_1_state.npz"), str(work)
+
+
+def test_demo(center_setup, tmp_path):
+    opt, work = center_setup
+    os.chdir(work)
+    imdir = synthetic.make_image_folder(str(tmp_path / "demo"), n=3,
+                                        h=128, w=128)
+    out = run_demo(opt.replace(imDir=os.path.join(imdir, "images"),
+                               batchSize=3),
+                   out_path=str(tmp_path / "demo.png"))
+    assert out["pred_center"].shape == (3, 64, 64, 3)
+    assert out["inpainted"].shape == (3, 128, 128, 3)
+    assert os.path.exists(tmp_path / "demo.png")
+    # paste-back: outside the hole, inpainted == ctx exactly
+    np.testing.assert_array_equal(out["inpainted"][:, :32], out["ctx"][:, :32])
+    # overlapPred ring kept from ctx
+    np.testing.assert_array_equal(out["inpainted"][:, 32:36, 64],
+                                  out["ctx"][:, 32:36, 64])
+    # interior came from the prediction
+    assert not np.array_equal(out["inpainted"][:, 40:80, 40:80],
+                              out["ctx"][:, 40:80, 40:80])
+
+
+def test_test_patch(center_setup, tmp_path):
+    opt, work = center_setup
+    os.chdir(work)
+    out = run_test(opt, out_prefix=str(tmp_path / "t"))
+    assert os.path.exists(tmp_path / "t_inpainted.png")
+    assert out["inpainted"].shape == (2, 128, 128, 3)
+
+
+def test_test_vid(video_setup, tmp_path):
+    opt, work = video_setup
+    os.chdir(work)
+    out = run_test_vid(opt, out_dir=str(tmp_path / "vid"))
+    # predLen=2, batch=2 → 4 frames
+    assert out["fake"].shape == (4, 128, 128, 3)
+    assert os.path.exists(tmp_path / "vid/pred_1.png")
+    assert os.path.exists(str(tmp_path / "vid") + "_result.gif")
+    # composite: outside the mask, inpainted == gt context (not prediction)
+    assert out["inpainted"].shape == out["fake"].shape
+
+
+def test_wholeim_tiled(video_setup, tmp_path):
+    opt, work = video_setup
+    os.chdir(work)
+    out = run_wholeim(opt.replace(loadSize=160),
+                      out_dir=str(tmp_path / "whole"))
+    t, h, w, c = out["pred"].shape
+    assert t == opt.predLen and c == 3
+    assert h % 128 == 0 and w % 128 == 0
+    assert os.path.exists(tmp_path / "whole/inpaint_1.png")
+    assert os.path.exists(str(tmp_path / "whole") + "_inpaint.gif")
+    # outside the mask the composite equals the (padded) original
+    pm = out["padmask"][None] > 0
+    np.testing.assert_array_equal(np.where(pm, 0, out["inpaint"]),
+                                  np.where(pm, 0, out["orig"]))
+    # inside the mask it equals the prediction
+    np.testing.assert_array_equal(np.where(pm, out["inpaint"], 0),
+                                  np.where(pm, out["pred"], 0))

@@ -68,6 +68,8 @@ class Opt:
 
     # --- video regime (train_vid_weighted.lua:23-49) ---
     predLen: int = 1             # frames per clip, channel-folded
+    inputLen: int = 0            # tiled-eval group size; 0 = predLen
+                                 # (test_vid_wholeim.lua:41-43)
     weight_nomask: float = 1.0   # λ: non-mask L2 weight; 0 = hard composite
     wtgdl: float = 0.0           # gradient-difference-loss weight
     maskName: str = ""           # logo mask PNG

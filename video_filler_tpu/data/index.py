@@ -1,0 +1,205 @@
+"""Dataset indexing — the replacement for the reference's shell-out indexer.
+
+The reference enumerates class subdirs then shells out to GNU ``find`` per
+class, bulk-loading paths into a CharTensor via LuaJIT ffi with a .t7 cache
+(data/dataset.lua:115-244, cache at data/donkey_folder.lua:29-32).  Here:
+``os.scandir`` + a JSON cache keyed by root path + mtime.  Same semantics:
+
+* classes = immediate subdirectories (or the root itself if it holds images),
+* ``sample``: uniform class, then uniform image within it
+  (data/dataset.lua:351-364 — plain uniform for the usual single class),
+* deterministic train/test split by percentage (data/dataset.lua:263-309;
+  dataset_norand.lua uses an identity permutation — we expose ``shuffle``),
+* paired variant: same index in two parallel class folders, equal counts
+  asserted (data/dataset_logo.lua:354-391),
+* video corpus: the reference HARDCODES 4 videos, frame counts, a gt/ vs gt1/
+  60/40 split and 7-digit frame names (datavid/dataset.lua:341-378) — here the
+  corpus is discovered by scanning (or supplied via config), with the same
+  sampling semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+
+IMG_EXTS = (".jpg", ".jpeg", ".png", ".ppm", ".bmp")
+
+
+def _cache_path(root: str, tag: str) -> str:
+    mangled = root.strip("/").replace("/", "_")
+    return os.path.join("cache", f"{mangled}_{tag}.json")
+
+
+def _scan_images(d: str) -> list[str]:
+    out = []
+    for entry in sorted(os.scandir(d), key=lambda e: e.name):
+        if entry.is_file() and entry.name.lower().endswith(IMG_EXTS):
+            out.append(entry.path)
+        elif entry.is_dir():
+            out.extend(_scan_images(entry.path))
+    return out
+
+
+class FolderIndex:
+    """Class-folder image index with JSON caching."""
+
+    def __init__(self, root: str, split: int = 100, use_cache: bool = True,
+                 shuffle_split: bool = False, seed: int = 0):
+        self.root = root
+        self.classes: list[str] = []
+        self.class_files: dict[str, list[str]] = {}
+        cache = _cache_path(root, "index")
+        if use_cache and os.path.exists(cache):
+            with open(cache) as f:
+                data = json.load(f)
+            if data.get("mtime") == os.path.getmtime(root):
+                self.classes = data["classes"]
+                self.class_files = data["files"]
+        if not self.classes:
+            subdirs = [e.name for e in sorted(os.scandir(root),
+                                              key=lambda e: e.name)
+                       if e.is_dir()]
+            if subdirs:
+                self.classes = subdirs
+                self.class_files = {c: _scan_images(os.path.join(root, c))
+                                    for c in subdirs}
+            else:
+                self.classes = ["."]
+                self.class_files = {".": _scan_images(root)}
+            self.class_files = {c: f for c, f in self.class_files.items() if f}
+            self.classes = [c for c in self.classes if c in self.class_files]
+            if use_cache:
+                os.makedirs("cache", exist_ok=True)
+                with open(cache, "w") as f:
+                    json.dump({"mtime": os.path.getmtime(root),
+                               "classes": self.classes,
+                               "files": self.class_files}, f)
+        if not self.classes:
+            raise FileNotFoundError(f"no images under {root}")
+        # train/test split per class (data/dataset.lua:263-309)
+        self.train_files: dict[str, list[str]] = {}
+        self.test_files: dict[str, list[str]] = {}
+        rs = np.random.RandomState(seed)
+        for c, files in self.class_files.items():
+            n = len(files)
+            order = rs.permutation(n) if shuffle_split else np.arange(n)
+            n_train = int(round(n * split / 100.0))
+            self.train_files[c] = [files[i] for i in order[:n_train]]
+            self.test_files[c] = [files[i] for i in order[n_train:]]
+
+    def size(self, split: str = "train") -> int:
+        files = self.train_files if split == "train" else self.test_files
+        return sum(len(v) for v in files.values())
+
+    def sample(self, rs: np.random.RandomState, n: int,
+               split: str = "train") -> list[str]:
+        """Uniform class then uniform image (data/dataset.lua:351-364)."""
+        files = self.train_files if split == "train" else self.test_files
+        classes = [c for c in self.classes if files[c]]
+        out = []
+        for _ in range(n):
+            c = classes[rs.randint(len(classes))]
+            out.append(files[c][rs.randint(len(files[c]))])
+        return out
+
+    def get(self, i1: int, i2: int, split: str = "train") -> list[str]:
+        """Sequential range over the flattened index (data/dataset.lua:366-382)."""
+        files = self.train_files if split == "train" else self.test_files
+        flat = [p for c in self.classes for p in files[c]]
+        return flat[i1:i2]
+
+
+class PairedIndex:
+    """Two parallel folders (masked, gt) sampled at the same index
+    (data/dataset_logo.lua:354-391: class 1 = gt, class 2 = masked)."""
+
+    def __init__(self, masked_root: str, gt_root: str):
+        self.masked = _scan_images(masked_root)
+        self.gt = _scan_images(gt_root)
+        if len(self.masked) != len(self.gt):
+            raise ValueError(
+                f"paired folders differ in size: {len(self.masked)} masked vs "
+                f"{len(self.gt)} gt (dataset_logo.lua:358 asserts equality)")
+        if not self.masked:
+            raise FileNotFoundError(f"no images under {masked_root}")
+
+    def size(self) -> int:
+        return len(self.masked)
+
+    def sample(self, rs: np.random.RandomState, n: int) -> list[tuple[str, str]]:
+        idx = rs.randint(len(self.masked), size=n)
+        return [(self.masked[i], self.gt[i]) for i in idx]
+
+
+@dataclass
+class VideoCorpus:
+    """Config-driven video-frame corpus.
+
+    Layout (generalizing datavid/dataset.lua:360-378): ``root/<variant>/``
+    holds frames named ``<%0Nd><suffix>`` per video, where each suffix
+    identifies one video.  ``variants`` are alternative ground-truth dirs
+    sampled by probability (the reference's gt/ 0.6 vs gt1/ 0.4).
+    """
+
+    root: str
+    variants: tuple[tuple[str, float], ...] = (("gt", 0.6), ("gt1", 0.4))
+    suffixes: list[str] = field(default_factory=list)   # per-video suffixes
+    counts: list[int] = field(default_factory=list)     # per-video frame count
+    pad: int = 7                                        # zero-pad width
+    start: int = 1                                      # first frame number
+
+    def __post_init__(self):
+        if not self.suffixes:
+            self._discover()
+        if len(self.suffixes) != len(self.counts):
+            raise ValueError("suffixes and counts must align")
+
+    def _discover(self) -> None:
+        """Scan the first variant dir, group frames by suffix."""
+        d = os.path.join(self.root, self.variants[0][0])
+        pat = re.compile(r"^(\d+)(.*)$")
+        groups: dict[str, list[int]] = {}
+        for entry in os.scandir(d):
+            if not entry.is_file():
+                continue
+            m = pat.match(entry.name)
+            if m:
+                groups.setdefault(m.group(2), []).append(int(m.group(1)))
+        if not groups:
+            raise FileNotFoundError(f"no numbered frames under {d}")
+        self.suffixes = sorted(groups)
+        self.counts = [max(groups[s]) - min(groups[s]) + 1 for s in self.suffixes]
+        self.start = min(min(groups[s]) for s in self.suffixes)
+        self.pad = len(next(iter(os.listdir(d))).split(self.suffixes[0])[0]) \
+            if self.suffixes[0] else self.pad
+
+    def size(self) -> int:
+        return sum(self.counts)
+
+    def sample_clip(self, rs: np.random.RandomState, length: int) -> list[str]:
+        """Uniform video, uniform start, variant by probability
+        (datavid/dataset.lua:360-378)."""
+        v = rs.randint(len(self.suffixes))
+        start = self.start + rs.randint(self.counts[v] - length + 1)
+        r, acc = rs.rand(), 0.0
+        variant = self.variants[-1][0]
+        for name, p in self.variants:
+            acc += p
+            if r < acc:
+                variant = name
+                break
+        return [os.path.join(self.root, variant,
+                             f"{start + i:0{self.pad}d}{self.suffixes[v]}")
+                for i in range(length)]
+
+    def get_clip(self, video: int, start: int, length: int,
+                 variant: str | None = None) -> list[str]:
+        variant = variant or self.variants[0][0]
+        return [os.path.join(self.root, variant,
+                             f"{start + i:0{self.pad}d}{self.suffixes[video]}")
+                for i in range(length)]

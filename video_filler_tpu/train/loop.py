@@ -1,0 +1,204 @@
+"""Epoch driver + CLI — the role of the reference's per-experiment trainer
+scripts (train.lua:415-468, train_vid_weighted.lua:542-612), one driver for
+all regimes.
+
+Differences by design (TPU-first):
+* preprocess + fDx + fGx + both Adam updates are ONE donated jit (train/step.py);
+* batches stream from the threaded host pipeline as uint8 and are sharded over
+  the mesh's data axis before the step (DP over ICI);
+* checkpoints carry optimizer state and step, so finetune/resume
+  (loadName/loadIter, train_vid_weighted.lua:242-257) is exact;
+* metrics stream to stdout + JSONL; display grids become PNG dumps
+  (train.lua:427-445's display-server role).
+
+CLI (env-var names match the reference; see config.py):
+    python -m video_filler_tpu.train regime=video DATA_ROOT=/data \
+        batchSize=64 wtl2=0.999 weight_nomask=0.05 maskName=maskppp.png
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import jax
+import numpy as np
+
+from video_filler_tpu import parallel
+from video_filler_tpu.checkpoint import (
+    checkpoint_path,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from video_filler_tpu.config import Opt, from_args
+from video_filler_tpu.data.pipeline import DataLoader, make_sampler
+from video_filler_tpu.ops import masks
+from video_filler_tpu.train.step import (
+    init_train_state,
+    make_preprocess,
+    make_train_step,
+)
+from video_filler_tpu.utils import MetricsLogger, save_image_grid
+
+
+def _display_dump(opt: Opt, regime: str, batch, fake, out_dir: str,
+                  epoch: int, step: int) -> None:
+    """PNG grids of fake / real / composited (train.lua:427-445 analogue)."""
+    import jax.numpy as jnp
+
+    tag = f"{opt.name}_e{epoch}_s{step}"
+    fake = jnp.asarray(fake)
+    real = jnp.asarray(batch["real"])
+    nc = opt.nc
+    save_image_grid(f"{out_dir}/{tag}_fake.png", np.asarray(fake)[..., :nc])
+    save_image_grid(f"{out_dir}/{tag}_real.png", np.asarray(real)[..., :nc])
+    if regime == "center":
+        comp = masks.paste_center(
+            masks.center_mask_fill(real, opt.overlapPred), fake,
+            opt.overlapPred)
+    elif "mask" in batch:
+        comp = masks.fill_in(real, jnp.asarray(batch["mask"]), fake)
+    else:
+        comp = fake
+    save_image_grid(f"{out_dir}/{tag}_inpaint.png",
+                    np.asarray(comp)[..., :nc])
+
+
+def train(opt: Opt, regime: str, max_steps: int | None = None,
+          quiet: bool = False):
+    """Run the full training loop; returns the final TrainState."""
+    seed = opt.manualSeed or int(np.random.randint(1, 10000))
+    if not quiet:
+        print(f"Seed: {seed}")
+    key = jax.random.PRNGKey(seed)
+
+    sampler, ds_size = make_sampler(opt, regime)
+    loader = DataLoader(sampler, opt.nThreads, seed=seed,
+                        prefetch_depth=opt.prefetchDepth)
+
+    n_data = opt.dataParallel
+    if not n_data:
+        # Largest data-axis size that divides the batch and fits the devices.
+        avail = len(jax.devices()) // opt.modelParallel
+        n_data = math.gcd(opt.batchSize, avail) if avail else 1
+    mesh = parallel.make_mesh(n_data=n_data, n_model=opt.modelParallel)
+    key, k_init = jax.random.split(key)
+    state = init_train_state(k_init, opt, regime)
+
+    start_epoch = 1
+    if opt.loadName and opt.loadIter:
+        path = checkpoint_path(opt.checkpointDir, opt.loadName, opt.loadIter)
+        state, _ = restore_checkpoint(path, state)
+        start_epoch = opt.loadIter + 1
+        if not quiet:
+            print(f"Resumed {path} at epoch {opt.loadIter}")
+    state = parallel.shard_train_state(mesh, state)
+
+    init_net = None
+    with_init = bool(opt.withInit and opt.initName)
+    if with_init:
+        # Initializer cascade: a pre-trained generator checkpoint run ahead of
+        # G (train_mycrit.lua:261-265,402-405).
+        target = init_train_state(jax.random.PRNGKey(0), opt, regime)
+        init_state_full, _ = restore_checkpoint(opt.initName, target)
+        init_net = (init_state_full.params_g, init_state_full.state_g)
+
+    preprocess = make_preprocess(opt, regime)
+    step_fn = make_train_step(opt, regime, with_init=with_init)
+
+    if with_init:
+        def _fused(state, host_batch, key, init_net):
+            k1, k2 = jax.random.split(key)
+            return step_fn(state, preprocess(host_batch, k1), k2, init_net)
+        fused = jax.jit(_fused, donate_argnums=0)
+    else:
+        def _fused(state, host_batch, key):
+            k1, k2 = jax.random.split(key)
+            return step_fn(state, preprocess(host_batch, k1), k2)
+        fused = jax.jit(_fused, donate_argnums=0)
+
+    # Preview pass for the display grids (the reference runs an extra batch
+    # through G every display_iter steps, train.lua:427-445).
+    from video_filler_tpu.models import build_generator, specs_for_regime
+    gen = build_generator(specs_for_regime(opt, regime)[0])
+
+    @jax.jit
+    def preview(params_g, state_g, host_batch, key):
+        batch = preprocess(host_batch, key)
+        g_in = batch.get("masked")
+        if g_in is None:
+            g_in = (masks.center_mask_fill(batch["real"], opt.overlapPred)
+                    if regime == "center" else
+                    masks.apply_logo_mask(batch["real"], batch["mask"],
+                                          opt.maskValue))
+        if opt.noiseGen:
+            g_in = (g_in, jax.random.normal(
+                key, (g_in.shape[0], 1, 1, opt.nz)))
+        fake, _ = gen.apply(params_g, state_g, g_in, train=False)
+        return batch, fake
+
+    logger = MetricsLogger(opt.name, quiet=quiet)
+    ntrain = min(ds_size, opt.ntrain)
+    steps_per_epoch = max(int(ntrain // opt.batchSize), 1)
+    done = 0
+
+    try:
+        for epoch in range(start_epoch, opt.niter + 1):
+            t_epoch = time.perf_counter()
+            for step in range(steps_per_epoch):
+                t0 = time.perf_counter()
+                host_batch = loader.get_batch()
+                t_data = time.perf_counter() - t0
+                dev_batch = parallel.shard_batch(mesh, host_batch)
+                key, sub = jax.random.split(key)
+                args = (state, dev_batch, sub) + ((init_net,) if with_init
+                                                  else ())
+                state, metrics = fused(*args)
+                if opt.display and (step + 1) % opt.display_iter == 0:
+                    key, kp = jax.random.split(key)
+                    pb = parallel.shard_batch(mesh, loader.get_batch())
+                    shown, fake = preview(state.params_g, state.state_g,
+                                          pb, kp)
+                    _display_dump(opt, regime, jax.device_get(shown),
+                                  fake, "display", epoch, step + 1)
+                if (step % opt.logEvery) == 0:
+                    logger.log_step(epoch, step, steps_per_epoch,
+                                    jax.device_get(metrics),
+                                    time.perf_counter() - t0, t_data)
+                done += 1
+                if max_steps is not None and done >= max_steps:
+                    raise StopIteration
+            logger.log_epoch(epoch, opt.niter,
+                             time.perf_counter() - t_epoch)
+            if epoch % opt.checkpointEvery == 0:
+                p = save_checkpoint(opt.checkpointDir, opt.name, epoch,
+                                    state, meta={"epoch": epoch,
+                                                 "regime": regime,
+                                                 "seed": seed})
+                if not quiet:
+                    print(f"checkpoint: {p}")
+    except StopIteration:
+        pass
+    finally:
+        loader.close()
+        logger.close()
+    return state
+
+
+def main(argv: list[str]) -> None:
+    kv = [a for a in argv if "=" in a]
+    regime = "center"
+    rest = []
+    for a in kv:
+        k, v = a.split("=", 1)
+        if k == "regime":
+            regime = v
+        else:
+            rest.append(a)
+    opt = from_args(rest)
+    train(opt, regime)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

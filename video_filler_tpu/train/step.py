@@ -224,44 +224,58 @@ def make_train_step(opt: Opt, regime: str, with_init: bool = False):
 
 
 def make_preprocess(opt: Opt, regime: str):
-    """Device-side preprocessing: uint8 batch → step batch, jit-fusable.
+    """Device-side preprocessing: host uint8 batch dict → step batch, fused
+    into the train-step jit.
 
-    Host delivers decoded frames as uint8 (see data/); this performs the
-    donkey's crop/flip/normalize/mask work on device
-    (data/donkey_folder.lua:70-88, datavid/donkey_folder.lua:138-186).
+    The host pipeline (data/pipeline.py) only decodes/crops; the donkeys'
+    flip/normalize/mask-synthesis work (data/donkey_folder.lua:70-88,
+    datavid/donkey_folder.lua:138-186) happens here on device.  Signature:
+    ``preprocess(host_batch: dict, key) -> step batch``.
     """
 
-    def center(raw: jax.Array, key: jax.Array):
-        """raw: (B, H, W, nc) uint8, H,W >= fineSize."""
+    def center(batch, key):
+        """batch['raw']: (B, H, W, nc) uint8, H,W >= fineSize."""
         k_crop, k_flip = jax.random.split(key)
-        x = raw
-        if raw.shape[1] != opt.fineSize or raw.shape[2] != opt.fineSize:
+        x = batch["raw"]
+        if x.shape[1] != opt.fineSize or x.shape[2] != opt.fineSize:
             x = image_ops.random_crop(k_crop, x, opt.fineSize)
         x = image_ops.normalize_uint8(x)
         x = image_ops.random_hflip(k_flip, x)
         return {"real": x}
 
-    def video(raw: jax.Array, mask: jax.Array, key: jax.Array):
-        """raw: (B, H, W, nc*predLen) uint8 channel-folded clip;
-        mask: (H, W, 1) or (B, H, W, 1) uint8 {0,1} logo mask at load size.
-        Random crop shared across frames and mask; empty crops fall back to
-        random blocks; flip applied to all (datavid/donkey_folder.lua:138-186)."""
+    def video(batch, key):
+        """batch['raw']: (B, H, W, nc*predLen) uint8 channel-folded clip;
+        batch['mask']: (B, H, W, 1) (or unbatched) uint8 {0,1} cropped mask.
+        Empty mask crops fall back to random blocks; flip applied to clip and
+        mask together (datavid/donkey_folder.lua:161-180)."""
         k_crop, k_blk, k_flip = jax.random.split(key, 3)
+        raw, mask = batch["raw"], batch["mask"]
         b = raw.shape[0]
         if mask.ndim == 3:
             mask = jnp.broadcast_to(mask[None], (b,) + mask.shape)
-        both = jnp.concatenate([raw.astype(jnp.uint8),
-                                mask.astype(jnp.uint8)], axis=-1)
         if raw.shape[1] != opt.fineSize or raw.shape[2] != opt.fineSize:
+            both = jnp.concatenate([raw.astype(jnp.uint8),
+                                    mask.astype(jnp.uint8)], axis=-1)
             both = image_ops.random_crop(k_crop, both, opt.fineSize)
-        x, m = both[..., :-1], both[..., -1:]
-        m = masks.mask_or_random_block(k_blk, m.astype(jnp.float32))
-        x = image_ops.normalize_uint8(x)
+            raw, mask = both[..., :-1], both[..., -1:]
+        m = masks.mask_or_random_block(k_blk, mask.astype(jnp.float32))
+        x = image_ops.normalize_uint8(raw)
         x, m = image_ops.random_hflip(k_flip, x, 0.5, m)
         return {"real": x, "mask": m}
 
-    if regime == "center":
-        return center
-    if regime in ("video",):
-        return video
-    raise ValueError(f"no device preprocess for regime {regime!r}")
+    def logo(batch, key):
+        """Masked/gt pairs share the flip (donkey_folder_logo.lua:91-98)."""
+        xm = image_ops.normalize_uint8(batch["raw_masked"])
+        xg = image_ops.normalize_uint8(batch["raw_gt"])
+        xm, xg = image_ops.random_hflip(key, xm, 0.5, xg)
+        return {"masked": xm, "real": xg}
+
+    def wholeim(batch, key):
+        """Patch arrays arrive pre-sliced (flip already applied host-side,
+        before slicing — donkey_wholeim.lua:177-181); just normalize."""
+        return {"masked": image_ops.normalize_uint8(batch["raw_masked"]),
+                "real": image_ops.normalize_uint8(batch["raw_real"]),
+                "mask": batch["mask"].astype(jnp.float32)}
+
+    return {"center": center, "video": video, "logo": logo,
+            "wholeim": wholeim}[regime]
