@@ -150,3 +150,43 @@ def test_index_cache_roundtrip(image_root, tmp_path, monkeypatch):
     assert os.path.exists("cache")
     idx2 = FolderIndex(image_root, use_cache=True)  # from cache
     assert idx2.class_files == idx1.class_files
+
+
+def test_native_loader_parity(image_root):
+    """Native C++ decode path vs Python path: same shapes, close pixels."""
+    from video_filler_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    idx = FolderIndex(image_root, use_cache=False)
+    paths = idx.get(0, 3)
+    h, w = native.image_size(paths[0])
+    assert (h, w) == (160, 200)
+    seeds = np.arange(1, 4, dtype=np.uint64)
+    batch, offs, fails = native.load_clips([[p] for p in paths], 140, 128,
+                                           seeds)
+    assert fails == 0 and batch.shape == (3, 128, 128, 3)
+    assert (offs[:, 2] == 140).all() and (offs[:, 3] == 175).all()
+    for i, p in enumerate(paths):
+        ref = short_side_resize(decode_image(p), 140)
+        y, x = offs[i, 0], offs[i, 1]
+        sub = ref[y:y + 128, x:x + 128].astype(int)
+        assert np.abs(sub - batch[i].astype(int)).mean() < 2.0
+
+
+def test_native_video_sampler_mask_alignment(video_root):
+    """Native video path: mask crop must use the same offsets as the frames."""
+    from video_filler_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    opt = Opt(batchSize=4, loadSize=150, fineSize=128, predLen=2)
+    corpus = VideoCorpus(video_root)
+    mask = load_mask(os.path.join(video_root, "mask.png"))
+    batch = video_sampler(opt, corpus, mask)(np.random.RandomState(3))
+    assert batch["raw"].shape == (4, 128, 128, 6)
+    assert batch["mask"].shape == (4, 128, 128, 1)
+    # deterministic given the RandomState: same seed → same batch
+    batch2 = video_sampler(opt, corpus, mask)(np.random.RandomState(3))
+    np.testing.assert_array_equal(batch["raw"], batch2["raw"])
+    np.testing.assert_array_equal(batch["mask"], batch2["mask"])

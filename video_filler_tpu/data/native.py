@@ -1,0 +1,95 @@
+"""ctypes bindings for the native C++ loader (native/vf_native.cpp).
+
+The native library does parallel JPEG/PNG decode + short-side resize + shared
+per-clip random crop with the GIL released — the donkey-pool + `image` C-lib
+role (data/data.lua:26-60, data/donkey_folder.lua:39-62) as real native code.
+Falls back transparently to the pure-Python path when the .so can't be built.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libvf_native.so")
+
+_lib = None
+_lock = threading.Lock()
+_build_failed = False
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        if not os.path.exists(_SO_PATH):
+            try:
+                subprocess.run(["sh", os.path.join(_NATIVE_DIR, "build.sh")],
+                               check=True, capture_output=True, timeout=120)
+            except Exception:
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+        except OSError:
+            _build_failed = True
+            return None
+        lib.vf_load_clips.restype = ctypes.c_int
+        lib.vf_load_clips.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int]
+        lib.vf_image_size.restype = ctypes.c_int
+        lib.vf_image_size.argtypes = [ctypes.c_char_p,
+                                      ctypes.POINTER(ctypes.c_int),
+                                      ctypes.POINTER(ctypes.c_int)]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def image_size(path: str) -> tuple[int, int]:
+    lib = _load()
+    assert lib is not None
+    h, w = ctypes.c_int(), ctypes.c_int()
+    if lib.vf_image_size(path.encode(), ctypes.byref(h), ctypes.byref(w)):
+        raise IOError(f"native decode failed for {path}")
+    return h.value, w.value
+
+
+def load_clips(clip_paths: list[list[str]], load_size: int, crop: int,
+               seeds: np.ndarray, n_threads: int = 0
+               ) -> tuple[np.ndarray, np.ndarray, int]:
+    """Decode clips in parallel with one shared random crop per clip.
+
+    Returns (batch (n, crop, crop, frames*3) uint8,
+             offsets (n, 4) int32 [y, x, resized_h, resized_w],
+             n_failures).
+    """
+    lib = _load()
+    assert lib is not None
+    n = len(clip_paths)
+    frames = len(clip_paths[0])
+    flat = [p.encode() for clip in clip_paths for p in clip]
+    arr = (ctypes.c_char_p * len(flat))(*flat)
+    out = np.empty((n, crop, crop, frames * 3), np.uint8)
+    offsets = np.zeros((n, 4), np.int32)
+    seeds = np.ascontiguousarray(seeds, np.uint64)
+    fails = lib.vf_load_clips(
+        arr, n, frames, load_size, crop,
+        seeds.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        n_threads)
+    return out, offsets, fails

@@ -19,6 +19,7 @@ Samplers reproduce each donkey's behavior:
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from typing import Callable
@@ -26,11 +27,18 @@ from typing import Callable
 import numpy as np
 
 from video_filler_tpu.config import Opt
-from video_filler_tpu.data import decode
+from video_filler_tpu.data import decode, native
 from video_filler_tpu.data.index import FolderIndex, PairedIndex, VideoCorpus
 from video_filler_tpu.ops.masks import binarize_mask
 
 Batch = dict[str, np.ndarray]
+
+
+def _use_native(opt: Opt) -> bool:
+    """Native C++ decode path: RGB only, fixed-size crops, loadSize >= 0
+    (the random-scale modes stay in Python)."""
+    return (opt.nc == 3 and opt.loadSize >= 0 and native.available()
+            and os.environ.get("VF_NO_NATIVE") != "1")
 
 
 def _random_crop_hw(rs, h, w, ch, cw):
@@ -43,20 +51,36 @@ def _random_crop_hw(rs, h, w, ch, cw):
 
 
 def center_sampler(opt: Opt, index: FolderIndex) -> Callable:
-    """Random image → short-side resize → random fineSize crop; uint8 out."""
+    """Random image → short-side resize → random fineSize crop; uint8 out.
+
+    Uses the native C++ parallel decode path (data/native.py) when available,
+    falling back per-image to Python for files the native decoder rejects."""
     fs = opt.fineSize
+    use_native = _use_native(opt)
+
+    def _python_one(rs, p):
+        img = decode.load_and_resize(p, opt.loadSize, opt.nc, rs)
+        h, w = img.shape[:2]
+        if h < fs or w < fs:
+            img = decode.resize(img, max(h, fs), max(w, fs))
+            h, w = img.shape[:2]
+        y, x = _random_crop_hw(rs, h, w, fs, fs)
+        return img[y:y + fs, x:x + fs]
 
     def sample(rs: np.random.RandomState) -> Batch:
-        out = np.empty((opt.batchSize, fs, fs, opt.nc), np.uint8)
         paths = index.sample(rs, opt.batchSize)
+        if use_native:
+            seeds = rs.randint(1, 2**63, size=opt.batchSize, dtype=np.uint64)
+            out, _, fails = native.load_clips([[p] for p in paths],
+                                              opt.loadSize, fs, seeds)
+            if fails:
+                for i, p in enumerate(paths):
+                    if not out[i].any():
+                        out[i] = _python_one(rs, p)
+            return {"raw": out}
+        out = np.empty((opt.batchSize, fs, fs, opt.nc), np.uint8)
         for i, p in enumerate(paths):
-            img = decode.load_and_resize(p, opt.loadSize, opt.nc, rs)
-            h, w = img.shape[:2]
-            if h < fs or w < fs:
-                img = decode.resize(img, max(h, fs), max(w, fs))
-                h, w = img.shape[:2]
-            y, x = _random_crop_hw(rs, h, w, fs, fs)
-            out[i] = img[y:y + fs, x:x + fs]
+            out[i] = _python_one(rs, p)
         return {"raw": out}
 
     return sample
@@ -101,6 +125,40 @@ def video_sampler(opt: Opt, corpus: VideoCorpus,
     datavid/dataset.lua:407-421) — data-dependent, so it stays host-side.
     The random-block fallback for empty mask crops runs on device."""
     fs, pl, nc = opt.fineSize, opt.predLen, opt.nc
+    use_native = _use_native(opt)
+
+    def _mask_crop(h, w, y, x):
+        if mask is None:
+            return np.zeros((fs, fs, 1), np.uint8)
+        m = mask
+        if m.shape[:2] != (h, w):
+            m = (decode.resize((m * 255).astype(np.uint8), h, w)
+                 >= 128).astype(np.uint8)
+        return m[y:y + fs, x:x + fs]
+
+    def sample_native(rs: np.random.RandomState) -> Batch:
+        """Batch decode via C++ (shared crop per clip + reported offsets for
+        the mask); dark clips rejected and redrawn in later rounds."""
+        b = opt.batchSize
+        raw = np.empty((b, fs, fs, nc * pl), np.uint8)
+        msk = np.empty((b, fs, fs, 1), np.uint8)
+        pending = list(range(b))
+        while pending:
+            clips = [corpus.sample_clip(rs, pl) for _ in pending]
+            seeds = rs.randint(1, 2**63, size=len(pending), dtype=np.uint64)
+            out, offs, _fails = native.load_clips(clips, opt.loadSize, fs,
+                                                  seeds)
+            still = []
+            for j, i in enumerate(pending):
+                dark = out[j].mean() < 0.1 * 255
+                if (not out[j].any()) or (dark and rs.rand() <= 0.95):
+                    still.append(i)  # decode failure or dark-crop rejection
+                    continue
+                raw[i] = out[j]
+                y, x, rh, rw = offs[j]
+                msk[i] = _mask_crop(rh, rw, y, x)
+            pending = still
+        return {"raw": raw, "mask": msk}
 
     def sample_one(rs):
         while True:
@@ -124,6 +182,8 @@ def video_sampler(opt: Opt, corpus: VideoCorpus,
             return crop, mcrop
 
     def sample(rs: np.random.RandomState) -> Batch:
+        if use_native:
+            return sample_native(rs)
         raw = np.empty((opt.batchSize, fs, fs, nc * pl), np.uint8)
         msk = np.empty((opt.batchSize, fs, fs, 1), np.uint8)
         for i in range(opt.batchSize):
