@@ -104,6 +104,8 @@ class Opt:
     checkpointDir: str = "checkpoints"
     logEvery: int = 1
     gdlTorchQuirk: bool = False      # reproduce reference GDL-backward-is-MSE bug
+    usePallasLoss: bool = False      # Pallas fused weighted-MSE (see
+                                     # ops/pallas/fused_loss.py for why off)
     useBias: bool = False            # reference zeroes conv biases every step
     prefetchDepth: int = 2
 

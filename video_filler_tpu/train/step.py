@@ -181,7 +181,22 @@ def make_train_step(opt: Opt, regime: str, with_init: bool = False):
             err_g_l2 = jnp.float32(0.0)
             if wtl2 != 0.0:
                 err_g_l2 = losses.mse(d_fake, target)  # logged unweighted
-                loss_g = loss_g + losses.weighted_mse(d_fake, target, l2_w)
+                if opt.usePallasLoss:
+                    from video_filler_tpu.ops.pallas import (
+                        fused_weighted_mse,
+                        pallas_supported,
+                    )
+                    if pallas_supported(d_fake.shape):
+                        w_full = jnp.broadcast_to(
+                            jnp.asarray(l2_w, jnp.float32), d_fake.shape)
+                        loss_g = loss_g + fused_weighted_mse(
+                            d_fake, target, w_full,
+                            jax.default_backend() != "tpu")
+                    else:
+                        loss_g = loss_g + losses.weighted_mse(d_fake, target,
+                                                              l2_w)
+                else:
+                    loss_g = loss_g + losses.weighted_mse(d_fake, target, l2_w)
             err_g_gdl = jnp.float32(0.0)
             if opt.wtgdl != 0.0:
                 gdl_val = losses.gdl(d_fake, target)
