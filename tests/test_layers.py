@@ -124,3 +124,44 @@ def test_sequential_threads_state(rng):
     assert y.shape == (2, 4, 4, 4)
     assert not np.allclose(np.asarray(new_state["bn"]["mean"]),
                            np.asarray(state["bn"]["mean"]))
+
+
+def test_conv2d_transpose_subpixel_equals_dilated(rng):
+    """The default sub-pixel decomposition must match the input-dilated form
+    (and therefore torch) exactly, including the degenerate 1x1 input."""
+    for size in (1, 8, 32):
+        sub = layers.conv2d_transpose(5, 7, 4, 2, 1, dtype=jnp.float32,
+                                      subpixel=True)
+        dil = layers.conv2d_transpose(5, 7, 4, 2, 1, dtype=jnp.float32,
+                                      subpixel=False)
+        p, s = sub.init(rng)
+        x = jnp.asarray(np.random.RandomState(size).randn(2, size, size, 5)
+                        .astype(np.float32))
+        y1, _ = sub.apply(p, s, x)
+        y2, _ = dil.apply(p, s, x)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_conv2d_transpose_subpixel_gradients(rng):
+    """Autodiff through the sub-pixel path equals the dilated path."""
+    sub = layers.conv2d_transpose(3, 4, 4, 2, 1, dtype=jnp.float32,
+                                  subpixel=True)
+    dil = layers.conv2d_transpose(3, 4, 4, 2, 1, dtype=jnp.float32,
+                                  subpixel=False)
+    p, _ = sub.init(rng)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 8, 8, 3)
+                    .astype(np.float32))
+
+    def loss(apply, p, x):
+        y, _ = apply(p, {}, x)
+        return jnp.sum(y * y)
+
+    g1 = jax.grad(lambda p: loss(sub.apply, p, x))(p)
+    g2 = jax.grad(lambda p: loss(dil.apply, p, x))(p)
+    np.testing.assert_allclose(np.asarray(g1["w"]), np.asarray(g2["w"]),
+                               rtol=1e-4, atol=1e-5)
+    gx1 = jax.grad(lambda x: loss(sub.apply, p, x))(x)
+    gx2 = jax.grad(lambda x: loss(dil.apply, p, x))(x)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                               rtol=1e-4, atol=1e-5)

@@ -108,6 +108,9 @@ class Opt:
                                      # ops/pallas/fused_loss.py for why off)
     useBias: bool = False            # reference zeroes conv biases every step
     prefetchDepth: int = 2
+    profileSteps: int = 0            # >0: capture a jax.profiler trace over
+                                     # steps [5, 5+profileSteps) of epoch 1
+    profileDir: str = "logs/profile"
 
     def __post_init__(self) -> None:
         if self.fineSize % 4 != 0:

@@ -1,0 +1,76 @@
+"""Multi-host (multi-process) training support.
+
+The reference has no distributed story at all (single `cutorch.setDevice`,
+train.lua:248-258).  Here multi-host is the standard JAX recipe:
+
+* each host process calls ``initialize()`` (jax.distributed handshake over
+  DCN; coordinator address from args or cluster env),
+* the SAME SPMD program runs everywhere — the mesh spans all processes'
+  devices, gradients all-reduce over ICI within a slice and DCN across
+  slices, inserted by XLA from the shardings (no NCCL/MPI code),
+* each host feeds only its shard of the global batch:
+  ``global_batch_from_local`` wraps process-local numpy data into a global
+  jax.Array with the data-axis sharding.
+
+Single-process usage is unchanged — these helpers no-op gracefully.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+
+from video_filler_tpu.parallel.mesh import DATA_AXIS, batch_sharding
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """jax.distributed.initialize with explicit args or cluster auto-detect.
+
+    Call before any jax device use on every host.  No-op when running a
+    single process with no coordinator configured.
+    """
+    if coordinator_address is None and num_processes is None:
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            return  # single-process / no cluster env: stay local
+    else:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+
+
+def process_batch_slice(global_batch: int) -> tuple[int, int]:
+    """(start, size) of this host's slice of the global batch."""
+    n, i = jax.process_count(), jax.process_index()
+    assert global_batch % n == 0, (
+        f"global batch {global_batch} must divide process count {n}")
+    per = global_batch // n
+    return i * per, per
+
+
+def global_batch_from_local(mesh, local_batch: dict[str, np.ndarray]
+                            ) -> dict[str, Any]:
+    """Assemble a global, data-axis-sharded batch from per-host numpy arrays.
+
+    Every host holds only its rows; jax stitches them into one logical array
+    spanning the mesh (jax.make_array_from_process_local_data).
+    """
+    sharding = batch_sharding(mesh)
+
+    def one(x: np.ndarray):
+        if jax.process_count() == 1:
+            return jax.device_put(x, sharding)
+        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, x,
+                                                      global_shape)
+
+    return {k: one(v) for k, v in local_batch.items()}
+
+
+def data_axis_size(mesh) -> int:
+    return mesh.shape[DATA_AXIS]

@@ -65,9 +65,15 @@ def _display_dump(opt: Opt, regime: str, batch, fake, out_dir: str,
                     np.asarray(comp)[..., :nc])
 
 
+REGIMES = ("center", "video", "logo", "wholeim")
+
+
 def train(opt: Opt, regime: str, max_steps: int | None = None,
           quiet: bool = False):
     """Run the full training loop; returns the final TrainState."""
+    if regime not in REGIMES:
+        raise SystemExit(f"unknown regime {regime!r}; expected one of "
+                         f"{', '.join(REGIMES)}")
     seed = opt.manualSeed or int(np.random.randint(1, 10000))
     if not quiet:
         print(f"Seed: {seed}")
@@ -143,10 +149,23 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
     steps_per_epoch = max(int(ntrain // opt.batchSize), 1)
     done = 0
 
+    # Profiling hooks (SURVEY §5 "tracing": the reference's torch.Timer
+    # triplet becomes wall-clock logging + an optional XLA profiler capture).
+    prof_started = prof_done = not opt.profileSteps
+
     try:
         for epoch in range(start_epoch, opt.niter + 1):
             t_epoch = time.perf_counter()
             for step in range(steps_per_epoch):
+                if not prof_done and done == 5:
+                    jax.profiler.start_trace(opt.profileDir)
+                    prof_started, prof_done = True, False
+                if prof_started and not prof_done and \
+                        done == 5 + opt.profileSteps:
+                    jax.profiler.stop_trace()
+                    prof_done = True
+                    if not quiet:
+                        print(f"profiler trace: {opt.profileDir}")
                 t0 = time.perf_counter()
                 host_batch = loader.get_batch()
                 t_data = time.perf_counter() - t0
@@ -181,6 +200,8 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
     except StopIteration:
         pass
     finally:
+        if prof_started and not prof_done:
+            jax.profiler.stop_trace()
         loader.close()
         logger.close()
     return state
