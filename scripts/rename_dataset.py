@@ -1,0 +1,51 @@
+#!/usr/bin/env python
+"""Dataset filename normalizer — the role of renamer.sh (which strips
+``masked_`` prefixes and collapses doubled ``_hdN_hdN`` suffixes with the
+perl `rename` utility).  Config-driven instead of hardcoded:
+
+    python scripts/rename_dataset.py DIR --strip-prefix masked_ \
+        --dedupe-suffix _hd1 _hd2 _hd3 _hd4 [--apply]
+
+Dry-run by default; --apply performs the renames.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def plan(root: str, strip_prefix: str | None,
+         dedupe_suffixes: list[str]) -> list[tuple[str, str]]:
+    out = []
+    for name in sorted(os.listdir(root)):
+        new = name
+        if strip_prefix and new.startswith(strip_prefix):
+            new = new[len(strip_prefix):]
+        for suf in dedupe_suffixes:
+            doubled = suf + suf
+            if doubled in new:
+                new = new.replace(doubled, suf)
+        if new != name:
+            out.append((name, new))
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("dir")
+    ap.add_argument("--strip-prefix", default=None)
+    ap.add_argument("--dedupe-suffix", nargs="*", default=[])
+    ap.add_argument("--apply", action="store_true")
+    args = ap.parse_args()
+
+    renames = plan(args.dir, args.strip_prefix, args.dedupe_suffix)
+    for old, new in renames:
+        print(f"{old} -> {new}")
+        if args.apply:
+            os.rename(os.path.join(args.dir, old), os.path.join(args.dir, new))
+    print(f"{'renamed' if args.apply else 'would rename'} {len(renames)} files")
+
+
+if __name__ == "__main__":
+    main()

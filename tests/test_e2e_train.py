@@ -78,3 +78,29 @@ def test_display_grids_written(image_root, tmp_path, monkeypatch):
     train(opt, "center", quiet=True)
     assert glob.glob("display/train1_*_fake.png")
     assert glob.glob("display/train1_*_inpaint.png")
+
+
+def test_auto_resume(video_root, tmp_path, monkeypatch):
+    """Crash recovery: rerunning with autoResume continues from the latest
+    checkpoint instead of restarting."""
+    monkeypatch.chdir(tmp_path)
+    opt = Opt(DATA_ROOT=video_root, loadSize=150, predLen=1, wtl2=0.999,
+              maskName=os.path.join(video_root, "mask.png"), **TINY)
+    train(opt, "video", quiet=True)           # epoch 1 checkpointed
+    state = train(opt.replace(autoResume=True, niter=2), "video", quiet=True)
+    assert int(state.step) == 8               # 4 steps epoch1 + 4 steps epoch2
+
+
+def test_reference_mask_assets_load():
+    """The shipped mask*.png assets binarize like the reference donkeys."""
+    import glob as g
+
+    from video_filler_tpu.data.pipeline import load_mask
+
+    masks = sorted(g.glob("/root/repo/assets/masks/mask*.png"))
+    assert len(masks) == 7
+    for p in masks:
+        m = load_mask(p, "byte")
+        assert m.ndim == 3 and m.shape[-1] == 1
+        assert set(np.unique(m)) <= {0, 1}
+        assert m.sum() > 0, f"{p} has no mask pixels after byte binarization"

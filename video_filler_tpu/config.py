@@ -102,6 +102,9 @@ class Opt:
     modelParallel: int = 1           # TP axis size (shards bottleneck matmul)
     checkpointEvery: int = 20        # epochs (train.lua:460; wholeim uses 2)
     checkpointDir: str = "checkpoints"
+    autoResume: bool = False         # resume from the latest checkpoint of
+                                     # `name` if one exists (crash recovery;
+                                     # supersedes loadName/loadIter when set)
     logEvery: int = 1
     gdlTorchQuirk: bool = False      # reproduce reference GDL-backward-is-MSE bug
     usePallasLoss: bool = False      # Pallas fused weighted-MSE (see

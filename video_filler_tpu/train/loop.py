@@ -93,7 +93,18 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
     state = init_train_state(k_init, opt, regime)
 
     start_epoch = 1
-    if opt.loadName and opt.loadIter:
+    if opt.autoResume:
+        # Failure recovery: restart from wherever the last run checkpointed
+        # (the reference's only recovery story is manual loadName/loadIter,
+        # train_vid_weighted.lua:242-257 — this automates it).
+        from video_filler_tpu.checkpoint import restore_latest
+        found = restore_latest(opt.checkpointDir, opt.name, state)
+        if found is not None:
+            state, _, epoch = found
+            start_epoch = epoch + 1
+            if not quiet:
+                print(f"auto-resumed {opt.name} at epoch {epoch}")
+    elif opt.loadName and opt.loadIter:
         path = checkpoint_path(opt.checkpointDir, opt.loadName, opt.loadIter)
         state, _ = restore_checkpoint(path, state)
         start_epoch = opt.loadIter + 1
