@@ -45,18 +45,22 @@ def main() -> None:
                                  dtype=np.uint8))
     key = jax.random.PRNGKey(1)
 
-    # warmup (compile + stabilize)
+    # warmup (compile + stabilize); the scalar fetch forces real completion —
+    # on the axon remote backend block_until_ready alone does NOT wait for
+    # remote execution, so timing must end with a value materialization.
     for i in range(3):
         key, sub = jax.random.split(key)
         state, metrics = fused(state, raw, sub)
-    jax.block_until_ready(state)
+    float(metrics["errD"])
 
-    iters = 50
+    iters = 100
     t0 = time.perf_counter()
     for i in range(iters):
         key, sub = jax.random.split(key)
         state, metrics = fused(state, raw, sub)
-    jax.block_until_ready(state)
+    # steps chain through the donated state, so execution is serial; this one
+    # fetch flushes the entire chain.
+    float(metrics["errD"])
     dt = time.perf_counter() - t0
 
     clips_per_sec = opt.batchSize * iters / dt

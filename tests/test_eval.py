@@ -103,3 +103,21 @@ def test_wholeim_tiled(video_setup, tmp_path):
     # inside the mask it equals the prediction
     np.testing.assert_array_equal(np.where(pm, out["inpaint"], 0),
                                   np.where(pm, out["pred"], 0))
+
+
+def test_metrics_harness(video_setup, tmp_path):
+    from video_filler_tpu.eval.metrics import bench_inference, evaluate, write_report
+
+    opt, work = video_setup
+    os.chdir(work)
+    q = evaluate(opt, "video", n_batches=2)
+    assert 0 <= q["l2"] < 4.0 and q["psnr_db"] > 0
+    assert q["hole_l2"] >= 0
+    s = bench_inference(opt, "video", iters=2)
+    assert s["frames_per_sec"] > 0
+    assert s["frames_per_sec"] == pytest.approx(
+        s["clips_per_sec"] * opt.predLen)
+    out = tmp_path / "m.md"
+    write_report(str(out), "video", q, s)
+    text = out.read_text()
+    assert "PSNR" in text and "frames/s" in text

@@ -1,0 +1,142 @@
+"""Quality + throughput metrics harness.
+
+The reference publishes no PSNR/SSIM/L2 numbers (BASELINE.md); its quality
+control is visual.  This module makes the quantitative story first-class:
+reconstruction metrics over held-out batches and generator inference
+throughput, written as a BASELINE.md-style markdown table
+(SURVEY §7 build-plan item 9).
+
+CLI:
+    python -m video_filler_tpu.eval.metrics regime=video net=checkpoints/... \
+        DATA_ROOT=... maskName=... [reportPath=metrics.md]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from video_filler_tpu.config import Opt, from_args
+from video_filler_tpu.data.pipeline import make_sampler
+from video_filler_tpu.eval.common import load_generator
+from video_filler_tpu.ops import losses, masks
+from video_filler_tpu.train.step import make_preprocess
+
+
+def _prepare(opt: Opt, regime: str, batch):
+    """(g_input, target, mask_or_none) for a preprocessed batch."""
+    if regime == "center":
+        ctx = masks.center_mask_fill(batch["real"], opt.overlapPred)
+        return ctx, masks.extract_center(batch["real"]), None
+    if regime == "video":
+        ctx = masks.apply_logo_mask(batch["real"], batch["mask"],
+                                    opt.maskValue)
+        return ctx, batch["real"], batch["mask"]
+    if regime in ("logo", "wholeim"):
+        return batch["masked"], batch["real"], batch.get("mask")
+    raise ValueError(regime)
+
+
+def evaluate(opt: Opt, regime: str, n_batches: int = 8,
+             seed: int = 222) -> dict:
+    """Reconstruction quality of `opt.net` over `n_batches` sampled batches:
+    full-frame and hole-only L2 + PSNR (range 2.0, [-1,1] images)."""
+    sampler, _ = make_sampler(opt, regime)
+    preprocess = make_preprocess(opt, regime)
+    forward, params, bn_state = load_generator(opt, regime, opt.net)
+    rs = np.random.RandomState(seed)
+    key = jax.random.PRNGKey(seed)
+
+    l2s, psnrs, hole_l2s = [], [], []
+    for _ in range(n_batches):
+        key, sub = jax.random.split(key)
+        batch = preprocess(jax.tree.map(jnp.asarray, sampler(rs)), sub)
+        ctx, target, mask = _prepare(opt, regime, batch)
+        pred = forward(params, bn_state, ctx)
+        if mask is not None:
+            pred_full = masks.fill_in(target, mask, pred)
+        else:
+            pred_full = pred
+        l2s.append(float(losses.mse(pred_full, target)))
+        psnrs.append(float(losses.psnr(pred_full, target)))
+        if mask is not None:
+            m = jnp.broadcast_to(mask.astype(bool), pred.shape)
+            denom = jnp.maximum(jnp.sum(m), 1)
+            hole_l2s.append(float(
+                jnp.sum(jnp.where(m, jnp.square(pred - target), 0.0)) / denom))
+        else:
+            hole_l2s.append(float(losses.mse(pred, target)))
+    return {
+        "l2": float(np.mean(l2s)),
+        "psnr_db": float(np.mean(psnrs)),
+        "hole_l2": float(np.mean(hole_l2s)),
+        "n_batches": n_batches,
+        "batchSize": opt.batchSize,
+    }
+
+
+def bench_inference(opt: Opt, regime: str, iters: int = 50) -> dict:
+    """Generator inference throughput (frames/sec) on synthetic input."""
+    forward, params, bn_state = load_generator(opt, regime, opt.net)
+    from video_filler_tpu.models import specs_for_regime
+    gspec, _ = specs_for_regime(opt, regime)
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(opt.batchSize, 128, 128, gspec.nc_in)
+                    .astype(np.float32) * 2 - 1)
+    jax.block_until_ready(forward(params, bn_state, x))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = forward(params, bn_state, x)
+    jax.block_until_ready(y)
+    dt = (time.perf_counter() - t0) / iters
+    frames_per_clip = max(opt.predLen, 1)
+    return {
+        "clips_per_sec": opt.batchSize / dt,
+        "frames_per_sec": opt.batchSize * frames_per_clip / dt,
+        "batch_latency_ms": dt * 1e3,
+    }
+
+
+def write_report(path: str, regime: str, quality: dict, speed: dict) -> None:
+    lines = [
+        f"# Metrics — regime `{regime}`", "",
+        "| Metric | Value |", "|---|---|",
+        f"| full-frame L2 ([-1,1] space) | {quality['l2']:.5f} |",
+        f"| hole-only L2 | {quality['hole_l2']:.5f} |",
+        f"| PSNR | {quality['psnr_db']:.2f} dB |",
+        f"| inference clips/s | {speed['clips_per_sec']:.1f} |",
+        f"| inference frames/s | {speed['frames_per_sec']:.1f} |",
+        f"| batch latency | {speed['batch_latency_ms']:.2f} ms |",
+        "",
+        f"(batches={quality['n_batches']}, batchSize={quality['batchSize']})",
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def main(argv: list[str]) -> None:
+    regime = "center"
+    report_path = "metrics.md"
+    rest = []
+    for a in argv:
+        k, _, v = a.partition("=")
+        if k == "regime":
+            regime = v
+        elif k == "reportPath":
+            report_path = v
+        else:
+            rest.append(a)
+    opt = from_args(rest)
+    quality = evaluate(opt, regime)
+    speed = bench_inference(opt, regime)
+    write_report(report_path, regime, quality, speed)
+    print(json.dumps({**quality, **speed}))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

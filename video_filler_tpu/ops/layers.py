@@ -13,8 +13,9 @@ Here each layer is an (init, apply) pair of pure functions over pytrees:
   axis, same semantics, transposed layout.
 * Convs default to bias-free: the reference zeroes every conv bias at the top
   of each train closure (train.lua:279-280), so biases are identically zero.
-* Compute dtype is configurable (bf16 on the MXU with f32 accumulation via
-  ``preferred_element_type``); params and BN statistics stay f32.
+* Compute dtype is configurable: bf16 on the MXU with activations kept in
+  bf16 between layers (half the HBM traffic); params, BN statistics and
+  losses stay f32.
 """
 
 from __future__ import annotations
@@ -61,17 +62,19 @@ def conv2d(cin: int, cout: int, kernel: int = 4, stride: int = 2, padding: int =
         return _conv_init(key, kernel, kernel, cin, cout, use_bias), {}
 
     def apply(params, state, x, *, train=False):
-        # Inputs cast to the compute dtype (bf16 on the MXU); the result is
-        # upcast to f32 outside the conv rather than via preferred_element_type
-        # so the AD transpose sees consistent dtypes.
+        # Inputs cast to the compute dtype (bf16 on the MXU); activations STAY
+        # in the compute dtype between layers — halving HBM traffic — and are
+        # only widened at reductions (BN statistics) and losses.  (No
+        # preferred_element_type: mixed primal/cotangent dtypes break the AD
+        # transpose rule.)
         y = lax.conv_general_dilated(
             x.astype(dtype), params["w"].astype(dtype),
             window_strides=(stride, stride),
             padding=((padding, padding), (padding, padding)),
             dimension_numbers=DIMNUMS,
-        ).astype(jnp.float32)
+        )
         if use_bias:
-            y = y + params["b"]
+            y = y + params["b"].astype(dtype)
         return y, state
 
     return Layer(init, apply)
@@ -106,8 +109,7 @@ def _conv_transpose_subpixel(x, w, dtype):
             outs.append(y)
     # interleave phases: (B, H, W, 4, C) -> (B, 2H, 2W, C)
     y = jnp.stack(outs, axis=3).reshape(b, h, wd, 2, 2, cout)
-    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * wd, cout)
-    return y.astype(jnp.float32)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * wd, cout)
 
 
 def conv2d_transpose(cin: int, cout: int, kernel: int = 4, stride: int = 2,
@@ -144,9 +146,9 @@ def conv2d_transpose(cin: int, cout: int, kernel: int = 4, stride: int = 2,
                 padding=((pad, pad), (pad, pad)),
                 lhs_dilation=(stride, stride),
                 dimension_numbers=DIMNUMS,
-            ).astype(jnp.float32)
+            )
         if use_bias:
-            y = y + params["b"]
+            y = y + params["b"].astype(y.dtype)
         return y, state
 
     return Layer(init, apply)

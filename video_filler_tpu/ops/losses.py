@@ -32,7 +32,9 @@ import jax.numpy as jnp
 
 
 def bce_with_logits(logits: jax.Array, target: jax.Array | float) -> jax.Array:
-    """Mean binary cross-entropy; `target` may be a scalar label (0.0/1.0)."""
+    """Mean binary cross-entropy; `target` may be a scalar label (0.0/1.0).
+    Computed in f32 regardless of the activations' compute dtype."""
+    logits = logits.astype(jnp.float32)
     t = jnp.asarray(target, dtype=logits.dtype)
     # max(x,0) - x*t + log1p(exp(-|x|)) == -[t log σ(x) + (1-t) log(1-σ(x))]
     loss = jnp.maximum(logits, 0) - logits * t + jnp.log1p(jnp.exp(-jnp.abs(logits)))
@@ -40,19 +42,21 @@ def bce_with_logits(logits: jax.Array, target: jax.Array | float) -> jax.Array:
 
 
 def mse(pred: jax.Array, target: jax.Array) -> jax.Array:
-    """nn.MSECriterion: mean of squared error over all elements."""
-    return jnp.mean(jnp.square(pred - target))
+    """nn.MSECriterion: mean of squared error over all elements (f32)."""
+    return jnp.mean(jnp.square(pred.astype(jnp.float32)
+                               - target.astype(jnp.float32)))
 
 
 def weighted_mse(pred: jax.Array, target: jax.Array,
                  weights: jax.Array) -> jax.Array:
-    """sum(weights * (pred-target)^2) / numel.
+    """sum(weights * (pred-target)^2) / numel, computed in f32.
 
     Gradient wrt pred: 2*weights*(pred-target)/numel — exactly the reference's
     element-weighted MSECriterion backward (train_vid_weighted.lua:497,
     train.lua:394).  `weights` broadcasts against pred.
     """
-    err = jnp.square(pred - target) * weights
+    err = jnp.square(pred.astype(jnp.float32)
+                     - target.astype(jnp.float32)) * weights
     return jnp.sum(err) / pred.size
 
 
@@ -99,12 +103,15 @@ def gdl(pred: jax.Array, target: jax.Array, alpha: int = 1) -> jax.Array:
     """
     assert alpha == 1, "reference asserts alpha == 1 (gdl_criterion.lua:9)"
 
-    def _term(a, axis):
-        gy = jnp.abs(jnp.diff(target, axis=axis))
-        gp = jnp.abs(jnp.diff(pred, axis=axis))
+    pred32 = pred.astype(jnp.float32)
+    target32 = target.astype(jnp.float32)
+
+    def _term(axis):
+        gy = jnp.abs(jnp.diff(target32, axis=axis))
+        gp = jnp.abs(jnp.diff(pred32, axis=axis))
         return jnp.mean(jnp.abs(gy - gp))
 
-    return _term(pred, 1) + _term(pred, 2)
+    return _term(1) + _term(2)
 
 
 def psnr(pred: jax.Array, target: jax.Array, data_range: float = 2.0) -> jax.Array:
