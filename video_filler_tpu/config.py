@@ -109,6 +109,8 @@ class Opt:
     gdlTorchQuirk: bool = False      # reproduce reference GDL-backward-is-MSE bug
     usePallasLoss: bool = False      # Pallas fused weighted-MSE (see
                                      # ops/pallas/fused_loss.py for why off)
+    video3dLevels: int = 5           # 3D family spatial halvings;
+                                     # input size = 4*2**levels (128 at 5)
     useBias: bool = False            # reference zeroes conv biases every step
     prefetchDepth: int = 2
     profileSteps: int = 0            # >0: capture a jax.profiler trace over

@@ -164,19 +164,23 @@ class VideoCorpus:
         d = os.path.join(self.root, self.variants[0][0])
         pat = re.compile(r"^(\d+)(.*)$")
         groups: dict[str, list[int]] = {}
+        pads: set[int] = set()
         for entry in os.scandir(d):
             if not entry.is_file():
                 continue
             m = pat.match(entry.name)
             if m:
                 groups.setdefault(m.group(2), []).append(int(m.group(1)))
+                pads.add(len(m.group(1)))
         if not groups:
             raise FileNotFoundError(f"no numbered frames under {d}")
         self.suffixes = sorted(groups)
         self.counts = [max(groups[s]) - min(groups[s]) + 1 for s in self.suffixes]
         self.start = min(min(groups[s]) for s in self.suffixes)
-        self.pad = len(next(iter(os.listdir(d))).split(self.suffixes[0])[0]) \
-            if self.suffixes[0] else self.pad
+        if len(pads) != 1:
+            raise ValueError(
+                f"inconsistent frame-number zero-padding under {d}: {pads}")
+        self.pad = pads.pop()
 
     def size(self) -> int:
         return sum(self.counts)

@@ -150,9 +150,12 @@ def video_sampler(opt: Opt, corpus: VideoCorpus,
                                                   seeds)
             still = []
             for j, i in enumerate(pending):
-                dark = out[j].mean() < 0.1 * 255
-                if (not out[j].any()) or (dark and rs.rand() <= 0.95):
-                    still.append(i)  # decode failure or dark-crop rejection
+                if offs[j, 2] == 0:  # resized_h unset => decode failure
+                    raise IOError(
+                        f"native decode failed for clip {clips[j]} — "
+                        "corrupt file or bad corpus path")
+                if out[j].mean() < 0.1 * 255 and rs.rand() <= 0.95:
+                    still.append(i)  # dark-crop rejection: redraw
                     continue
                 raw[i] = out[j]
                 y, x, rh, rw = offs[j]
@@ -281,7 +284,9 @@ def make_sampler(opt: Opt, regime: str):
                          variants=(("gt", 1.0 - opt.gt1Prob),
                                    ("gt1", opt.gt1Prob)),
                          **corpus_kw)
-    if regime == "video":
+    if regime in ("video", "video3d"):
+        # video3d shares the host pipeline; the device preprocess unfolds
+        # channels onto the temporal axis.
         return video_sampler(opt, corpus, mask), corpus.size()
     if regime == "wholeim":
         if mask is None:

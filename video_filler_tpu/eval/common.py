@@ -6,7 +6,7 @@ import jax
 
 from video_filler_tpu.checkpoint import restore_checkpoint
 from video_filler_tpu.config import Opt
-from video_filler_tpu.models import build_generator, specs_for_regime
+from video_filler_tpu.models import build_for_regime
 from video_filler_tpu.train.step import init_train_state
 
 
@@ -16,7 +16,7 @@ def load_generator(opt: Opt, regime: str, net_path: str):
     script — BN uses running statistics)."""
     target = init_train_state(jax.random.PRNGKey(0), opt, regime)
     state, _meta = restore_checkpoint(net_path, target)
-    gen = build_generator(specs_for_regime(opt, regime)[0])
+    gen = build_for_regime(opt, regime)[0]
 
     @jax.jit
     def forward(params, bn_state, x):

@@ -33,7 +33,7 @@ def _prepare(opt: Opt, regime: str, batch):
     if regime == "center":
         ctx = masks.center_mask_fill(batch["real"], opt.overlapPred)
         return ctx, masks.extract_center(batch["real"]), None
-    if regime == "video":
+    if regime in ("video", "video3d"):
         ctx = masks.apply_logo_mask(batch["real"], batch["mask"],
                                     opt.maskValue)
         return ctx, batch["real"], batch["mask"]
@@ -83,11 +83,14 @@ def evaluate(opt: Opt, regime: str, n_batches: int = 8,
 def bench_inference(opt: Opt, regime: str, iters: int = 50) -> dict:
     """Generator inference throughput (frames/sec) on synthetic input."""
     forward, params, bn_state = load_generator(opt, regime, opt.net)
-    from video_filler_tpu.models import specs_for_regime
-    gspec, _ = specs_for_regime(opt, regime)
     rs = np.random.RandomState(0)
-    x = jnp.asarray(rs.rand(opt.batchSize, 128, 128, gspec.nc_in)
-                    .astype(np.float32) * 2 - 1)
+    if regime == "video3d":
+        shape = (opt.batchSize, opt.predLen, 128, 128, opt.nc)
+    else:
+        from video_filler_tpu.models import specs_for_regime
+        gspec, _ = specs_for_regime(opt, regime)
+        shape = (opt.batchSize, 128, 128, gspec.nc_in)
+    x = jnp.asarray(rs.rand(*shape).astype(np.float32) * 2 - 1)
     jax.block_until_ready(forward(params, bn_state, x))
     t0 = time.perf_counter()
     for _ in range(iters):

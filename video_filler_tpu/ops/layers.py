@@ -135,7 +135,15 @@ def conv2d_transpose(cin: int, cout: int, kernel: int = 4, stride: int = 2,
         return _conv_init(key, kernel, kernel, cin, cout, use_bias), {}
 
     def apply(params, state, x, *, train=False):
-        if subpixel and kernel == 4 and stride == 2 and padding == 1:
+        if x.shape[1] == 1 and x.shape[2] == 1 and stride == 1 and padding == 0:
+            # 1x1 input (the nBottleneck -> 4x4 decoder head, train.lua:134):
+            # the transposed conv degenerates to out[b,h,w,o] = Σ_i x[b,i]·
+            # w[h,w,i,o] — a pure MXU matmul, no kernel reverse, no dilation.
+            # (Profiling showed the generic path spent 343us/step reversing
+            # the (4,4,4000,512) weight.)
+            y = jnp.einsum("bi,hwio->bhwo", x[:, 0, 0, :].astype(dtype),
+                           params["w"].astype(dtype))
+        elif subpixel and kernel == 4 and stride == 2 and padding == 1:
             y = _conv_transpose_subpixel(x, params["w"], dtype)
         else:
             pad = kernel - 1 - padding

@@ -111,7 +111,8 @@ def gdl(pred: jax.Array, target: jax.Array, alpha: int = 1) -> jax.Array:
         gp = jnp.abs(jnp.diff(pred32, axis=axis))
         return jnp.mean(jnp.abs(gy - gp))
 
-    return _term(1) + _term(2)
+    # H and W are the trailing spatial axes for both NHWC and NDHWC clips.
+    return _term(-3) + _term(-2)
 
 
 def psnr(pred: jax.Array, target: jax.Array, data_range: float = 2.0) -> jax.Array:

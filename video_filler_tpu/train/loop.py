@@ -50,6 +50,11 @@ def _display_dump(opt: Opt, regime: str, batch, fake, out_dir: str,
     tag = f"{opt.name}_e{epoch}_s{step}"
     fake = jnp.asarray(fake)
     real = jnp.asarray(batch["real"])
+    if real.ndim == 5:  # temporal (video3d): show the first frame
+        batch = dict(batch, real=real[:, 0],
+                     **({"mask": jnp.asarray(batch["mask"])[:, 0]}
+                        if "mask" in batch else {}))
+        real, fake = real[:, 0], fake[:, 0]
     nc = opt.nc
     save_image_grid(f"{out_dir}/{tag}_fake.png", np.asarray(fake)[..., :nc])
     save_image_grid(f"{out_dir}/{tag}_real.png", np.asarray(real)[..., :nc])
@@ -65,7 +70,7 @@ def _display_dump(opt: Opt, regime: str, batch, fake, out_dir: str,
                     np.asarray(comp)[..., :nc])
 
 
-REGIMES = ("center", "video", "logo", "wholeim")
+REGIMES = ("center", "video", "logo", "wholeim", "video3d")
 
 
 def train(opt: Opt, regime: str, max_steps: int | None = None,
@@ -137,8 +142,8 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
 
     # Preview pass for the display grids (the reference runs an extra batch
     # through G every display_iter steps, train.lua:427-445).
-    from video_filler_tpu.models import build_generator, specs_for_regime
-    gen = build_generator(specs_for_regime(opt, regime)[0])
+    from video_filler_tpu.models import build_for_regime
+    gen = build_for_regime(opt, regime)[0]
 
     @jax.jit
     def preview(params_g, state_g, host_batch, key):

@@ -37,9 +37,10 @@ import jax.numpy as jnp
 import optax
 
 from video_filler_tpu.config import Opt
-from video_filler_tpu.models import build_discriminator, build_generator, specs_for_regime
+from video_filler_tpu.models import build_for_regime
 from video_filler_tpu.ops import image as image_ops
 from video_filler_tpu.ops import losses, masks
+from video_filler_tpu.ops.layers3d import unfold_time
 
 
 class TrainState(NamedTuple):
@@ -60,8 +61,7 @@ def _optimizers(opt: Opt):
 
 
 def init_train_state(key: jax.Array, opt: Opt, regime: str) -> TrainState:
-    gspec, dspec = specs_for_regime(opt, regime)
-    gen, disc = build_generator(gspec), build_discriminator(dspec)
+    gen, disc = build_for_regime(opt, regime)
     kg, kd = jax.random.split(key)
     params_g, state_g = gen.init(kg)
     params_d, state_d = disc.init(kd)
@@ -92,15 +92,14 @@ def make_train_step(opt: Opt, regime: str, with_init: bool = False):
                 'mask': same-shape {0,1},
                 'masked': (B,fs,fs,nc*arrh*arrw) input patch array}
     """
-    gspec, dspec = specs_for_regime(opt, regime)
-    gen, disc = build_generator(gspec), build_discriminator(dspec)
+    gen, disc = build_for_regime(opt, regime)
     tx_g, tx_d = _optimizers(opt)
     wtl2 = float(opt.wtl2)
     adv_coef = (1.0 - wtl2) if 0.0 < wtl2 < 1.0 else 1.0
     lam = float(opt.weight_nomask)
 
     if with_init:
-        init_gen = build_generator(gspec)  # initializer shares the G topology
+        init_gen = build_for_regime(opt, regime)[0]  # G topology for netI
 
     def _prepare(batch, key):
         """Regime-specific (ctx, d_real_input, target, l2_weights, mask)."""
@@ -115,7 +114,9 @@ def make_train_step(opt: Opt, regime: str, with_init: bool = False):
             else:
                 w = jnp.float32(wtl2)
             return ctx, real_center, real_center, w, None
-        if regime == "video":
+        if regime in ("video", "video3d"):
+            # video3d: same semantics on (B, T, H, W, C) clips; the mask
+            # broadcasts over the temporal axis.
             real, mask = batch["real"], batch["mask"]
             ctx = masks.apply_logo_mask(real, mask, opt.maskValue)
             w = jnp.float32(wtl2) * losses.mask_l2_weights(
@@ -153,7 +154,7 @@ def make_train_step(opt: Opt, regime: str, with_init: bool = False):
                                           train=True)
             # weight_nomask==0: hard composite — only masked pixels come from G,
             # so gradients flow only through the hole (train_vid_weighted.lua:429-434).
-            if regime in ("video", "wholeim") and lam == 0.0:
+            if regime in ("video", "video3d", "wholeim") and lam == 0.0:
                 d_fake = masks.fill_in(target, mask, fake)
             else:
                 d_fake = fake
@@ -292,5 +293,12 @@ def make_preprocess(opt: Opt, regime: str):
                 "real": image_ops.normalize_uint8(batch["raw_real"]),
                 "mask": batch["mask"].astype(jnp.float32)}
 
+    def video3d(batch, key):
+        """video preprocess, then unfold channels to the temporal axis:
+        real (B,T,H,W,C); the (B,H,W,1) mask gains a broadcast T axis."""
+        b2 = video(batch, key)
+        return {"real": unfold_time(b2["real"], opt.predLen),
+                "mask": b2["mask"][:, None]}
+
     return {"center": center, "video": video, "logo": logo,
-            "wholeim": wholeim}[regime]
+            "wholeim": wholeim, "video3d": video3d}[regime]
