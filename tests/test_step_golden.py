@@ -1,0 +1,193 @@
+"""Full-step gradient golden test.
+
+Replicates the reference's training-step math in PyTorch (the numerical
+oracle for Torch7 semantics) and asserts our fused step computes the SAME
+gradients for both networks:
+
+fDx (train.lua:278-350): D-real BCE + D-fake BCE with the fake detached;
+fGx (train.lua:353-409): adversarial BCE on the fake-pass output with D's
+params frozen, blended with the (ring-weighted) L2 gradient:
+    df_dg = (1-wtl2)*dAdv + wtl2Matrix .* 2(fake-target)/N.
+
+BN runs in train mode in the same order (real pass, then fake pass), exactly
+as the reference forwards.  The weights are shared through the t7-layout
+mapping used by the importer, so this also pins the layout conventions.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+from video_filler_tpu.config import Opt
+from video_filler_tpu.models import build_for_regime
+from video_filler_tpu.ops import losses, masks
+
+NEF = NGF = NDF = 8
+NB = 16
+WTL2 = 0.999
+OVERLAP = 4
+
+
+def _torch_generator():
+    conv = lambda i, o, k=4, s=2, p=1: nn.Conv2d(i, o, k, s, p, bias=False)
+    deconv = lambda i, o, k=4, s=2, p=1: nn.ConvTranspose2d(i, o, k, s, p,
+                                                            bias=False)
+    return nn.Sequential(
+        conv(3, NEF), nn.LeakyReLU(0.2),
+        conv(NEF, NEF), nn.BatchNorm2d(NEF), nn.LeakyReLU(0.2),
+        conv(NEF, NEF * 2), nn.BatchNorm2d(NEF * 2), nn.LeakyReLU(0.2),
+        conv(NEF * 2, NEF * 4), nn.BatchNorm2d(NEF * 4), nn.LeakyReLU(0.2),
+        conv(NEF * 4, NEF * 8), nn.BatchNorm2d(NEF * 8), nn.LeakyReLU(0.2),
+        conv(NEF * 8, NB, 4, 1, 0),
+        nn.BatchNorm2d(NB), nn.LeakyReLU(0.2),
+        deconv(NB, NGF * 8, 4, 1, 0), nn.BatchNorm2d(NGF * 8), nn.ReLU(),
+        deconv(NGF * 8, NGF * 4), nn.BatchNorm2d(NGF * 4), nn.ReLU(),
+        deconv(NGF * 4, NGF * 2), nn.BatchNorm2d(NGF * 2), nn.ReLU(),
+        deconv(NGF * 2, NGF), nn.BatchNorm2d(NGF), nn.ReLU(),
+        deconv(NGF, 3), nn.Tanh())
+
+
+def _torch_discriminator():
+    conv = lambda i, o, k=4, s=2, p=1: nn.Conv2d(i, o, k, s, p, bias=False)
+    return nn.Sequential(
+        conv(3, NDF), nn.LeakyReLU(0.2),
+        conv(NDF, NDF * 2), nn.BatchNorm2d(NDF * 2), nn.LeakyReLU(0.2),
+        conv(NDF * 2, NDF * 4), nn.BatchNorm2d(NDF * 4), nn.LeakyReLU(0.2),
+        conv(NDF * 4, NDF * 8), nn.BatchNorm2d(NDF * 8), nn.LeakyReLU(0.2),
+        conv(NDF * 8, 1, 4, 1, 0))
+
+
+def test_full_step_gradients_match_torch(rng):
+    torch.manual_seed(0)
+    opt = Opt(nef=NEF, ngf=NGF, ndf=NDF, nBottleneck=NB, batchSize=2,
+              wtl2=WTL2, overlapPred=OVERLAP, computeDtype="float32")
+
+    tg, td = _torch_generator(), _torch_discriminator()
+    tg.train(), td.train()
+
+    # ---- import torch weights into our pytrees
+    gen, disc = build_for_regime(opt, "center")
+    gp, gs = gen.init(rng)
+    dp, ds = disc.init(jax.random.PRNGKey(1))
+
+    # Enumerate our conv/bn leaves in forward order via the known structure
+    # and the torch module order.
+    tconvs = [m for m in tg if isinstance(m, (nn.Conv2d, nn.ConvTranspose2d))]
+    tbns = [m for m in tg if isinstance(m, nn.BatchNorm2d)]
+    enc_names = [f"conv{i}" for i in range(6)]
+    dec_names = [f"up{i}" for i in range(5)]
+    for i, name in enumerate(enc_names):
+        w = tconvs[i].weight.detach().numpy().transpose(2, 3, 1, 0)
+        gp["enc"][name]["w"] = jnp.asarray(w)
+    for i, name in enumerate(dec_names):
+        w = tconvs[6 + i].weight.detach().numpy().transpose(2, 3, 0, 1)
+        gp["dec"][name]["w"] = jnp.asarray(w)
+    enc_bn_names = [f"bn{i}" for i in range(1, 5)]
+    for i, name in enumerate(enc_bn_names):
+        m = tbns[i]
+        gp["enc"][name] = {"gamma": jnp.asarray(m.weight.detach().numpy()),
+                           "beta": jnp.asarray(m.bias.detach().numpy())}
+        gs["enc"][name] = {"mean": jnp.asarray(m.running_mean.numpy()),
+                           "var": jnp.asarray(m.running_var.numpy())}
+    m = tbns[4]
+    gp["bott_bn"] = {"gamma": jnp.asarray(m.weight.detach().numpy()),
+                     "beta": jnp.asarray(m.bias.detach().numpy())}
+    gs["bott_bn"] = {"mean": jnp.asarray(m.running_mean.numpy()),
+                     "var": jnp.asarray(m.running_var.numpy())}
+    dec_bn_names = [f"bn{i}" for i in range(4)]
+    for i, name in enumerate(dec_bn_names):
+        m = tbns[5 + i]
+        gp["dec"][name] = {"gamma": jnp.asarray(m.weight.detach().numpy()),
+                           "beta": jnp.asarray(m.bias.detach().numpy())}
+        gs["dec"][name] = {"mean": jnp.asarray(m.running_mean.numpy()),
+                           "var": jnp.asarray(m.running_var.numpy())}
+
+    dconvs = [m for m in td if isinstance(m, nn.Conv2d)]
+    dbns = [m for m in td if isinstance(m, nn.BatchNorm2d)]
+    for i, name in enumerate([f"conv{i}" for i in range(1, 6)]):
+        w = dconvs[i].weight.detach().numpy().transpose(2, 3, 1, 0)
+        dp[name]["w"] = jnp.asarray(w)
+    for i, name in enumerate([f"bn{i}" for i in range(2, 5)]):
+        m = dbns[i]
+        dp[name] = {"gamma": jnp.asarray(m.weight.detach().numpy()),
+                    "beta": jnp.asarray(m.bias.detach().numpy())}
+        ds[name] = {"mean": jnp.asarray(m.running_mean.numpy()),
+                    "var": jnp.asarray(m.running_var.numpy())}
+
+    # ---- shared batch
+    rs = np.random.RandomState(3)
+    real = rs.rand(2, 128, 128, 3).astype(np.float32) * 2 - 1
+    real_j = jnp.asarray(real)
+    real_center_j = masks.extract_center(real_j)
+    ctx_j = masks.center_mask_fill(real_j, OVERLAP)
+
+    # ---- our gradients (the fused step's loss_fn math, directly)
+    def loss_fn(gp_, dp_):
+        fake, _ = gen.apply(gp_, gs, ctx_j, train=True)
+        logit_real, sd1 = disc.apply(dp_, ds, real_center_j, train=True)
+        logit_fake, _ = disc.apply(dp_, sd1, jax.lax.stop_gradient(fake),
+                                   train=True)
+        loss_d = (losses.bce_with_logits(logit_real, 1.0)
+                  + losses.bce_with_logits(logit_fake, 0.0))
+        logit_fake_g, _ = disc.apply(jax.lax.stop_gradient(dp_), sd1, fake,
+                                     train=True)
+        w = losses.overlap_l2_weights((64, 64), OVERLAP, WTL2)[None]
+        loss_g = ((1 - WTL2) * losses.bce_with_logits(logit_fake_g, 1.0)
+                  + losses.weighted_mse(fake, real_center_j, w))
+        return loss_g + loss_d
+
+    grad_g, grad_d = jax.grad(loss_fn, argnums=(0, 1))(gp, dp)
+
+    # ---- torch reference gradients (reference step math)
+    real_t = torch.from_numpy(real.transpose(0, 3, 1, 2))
+    real_center_t = real_t[:, :, 32:96, 32:96].clone()
+    ctx_t = real_t.clone()
+    fill = torch.tensor([2 * 117 / 255 - 1, 2 * 104 / 255 - 1,
+                         2 * 123 / 255 - 1])
+    lo, hi = 32 + OVERLAP, 96 - OVERLAP
+    ctx_t[:, :, lo:hi, lo:hi] = fill.view(1, 3, 1, 1)
+
+    fake_t = tg(ctx_t)
+    out_real = td(real_center_t).view(-1)
+    out_fake = td(fake_t.detach()).view(-1)
+    loss_d_t = (F.binary_cross_entropy_with_logits(out_real,
+                                                   torch.ones_like(out_real))
+                + F.binary_cross_entropy_with_logits(
+                    out_fake, torch.zeros_like(out_fake)))
+    td.zero_grad()
+    loss_d_t.backward()
+    d_grads_t = [m.weight.grad.detach().numpy().copy() for m in td
+                 if isinstance(m, nn.Conv2d)]
+
+    # G step: adversarial through a frozen-D forward + ring-weighted L2
+    for p in td.parameters():
+        p.requires_grad_(False)
+    out_fake_g = td(fake_t).view(-1)
+    wmat = np.full((64, 64), 10 * WTL2, np.float32)
+    wmat[OVERLAP:64 - OVERLAP, OVERLAP:64 - OVERLAP] = WTL2
+    wmat_t = torch.from_numpy(wmat).view(1, 1, 64, 64)
+    loss_g_t = ((1 - WTL2) * F.binary_cross_entropy_with_logits(
+                    out_fake_g, torch.ones_like(out_fake_g))
+                + (wmat_t * (fake_t - real_center_t) ** 2).sum()
+                / fake_t.numel())
+    tg.zero_grad()
+    loss_g_t.backward()
+    g_grads_t = [m.weight.grad.detach().numpy().copy() for m in tg
+                 if isinstance(m, (nn.Conv2d, nn.ConvTranspose2d))]
+
+    # ---- compare (transpose back to torch layouts)
+    for i, name in enumerate(enc_names):
+        ours = np.asarray(grad_g["enc"][name]["w"]).transpose(3, 2, 0, 1)
+        np.testing.assert_allclose(ours, g_grads_t[i], rtol=2e-3, atol=2e-5,
+                                   err_msg=f"G enc {name}")
+    for i, name in enumerate(dec_names):
+        ours = np.asarray(grad_g["dec"][name]["w"]).transpose(2, 3, 0, 1)
+        np.testing.assert_allclose(ours, g_grads_t[6 + i], rtol=2e-3,
+                                   atol=2e-5, err_msg=f"G dec {name}")
+    for i, name in enumerate([f"conv{i}" for i in range(1, 6)]):
+        ours = np.asarray(grad_d[name]["w"]).transpose(3, 2, 0, 1)
+        np.testing.assert_allclose(ours, d_grads_t[i], rtol=2e-3, atol=2e-5,
+                                   err_msg=f"D {name}")
