@@ -145,3 +145,26 @@ def test_video3d_e2e_train(tmp_path, monkeypatch):
               **TINY)
     state = train(opt, "video3d", quiet=True)
     assert int(state.step) == 2
+
+
+def test_video3d_eval(tmp_path, monkeypatch):
+    """run_test_vid works on the temporal regime end-to-end."""
+    import os
+
+    from video_filler_tpu.data import synthetic
+    from video_filler_tpu.eval.video import run_test_vid
+    from video_filler_tpu.train.loop import train
+
+    monkeypatch.chdir(tmp_path)
+    root = synthetic.make_video_corpus(str(tmp_path / "data"), n_videos=2,
+                                       frames=6, h=60, w=80)
+    mask = synthetic.make_mask_png(str(tmp_path / "mask.png"), h=60, w=80,
+                                   box=(5, 8, 20, 30))
+    opt = Opt(DATA_ROOT=root, loadSize=40, predLen=2, wtl2=0.999,
+              maskName=mask, nThreads=0, niter=1, ntrain=4, manualSeed=1,
+              display=False, checkpointEvery=1, name="v3", **TINY)
+    train(opt, "video3d", quiet=True)
+    out = run_test_vid(opt.replace(net="checkpoints/v3_1_state.npz"),
+                       out_dir=str(tmp_path / "ev"), regime="video3d")
+    assert out["fake"].shape == (4, 32, 32, 3)  # batch 2 x predLen 2 frames
+    assert os.path.exists(tmp_path / "ev/pred_1.png")

@@ -57,6 +57,8 @@ class Opt:
     ntrain: float = math.inf
     display: bool = True
     display_iter: int = 50
+    display_id: int = 10       # accepted for reference-CLI compatibility;
+    display_port: int = 8000   # grids go to PNG files, not a display server
     name: str = "train1"
     manualSeed: int = 0
 

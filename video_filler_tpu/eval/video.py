@@ -22,25 +22,31 @@ from video_filler_tpu.utils import save_gif, save_png
 
 
 def _unfold(clip: np.ndarray, nc: int) -> np.ndarray:
-    """(B, H, W, nc*predLen) → (B*predLen, H, W, nc) frame sequence."""
+    """Frames as (N, H, W, nc): channel-folded (B,H,W,nc*T) or temporal
+    (B,T,H,W,nc) clips both flatten to a frame sequence."""
+    if clip.ndim == 5:
+        b, t, h, w, c = clip.shape
+        return clip.reshape(b * t, h, w, c)
     b, h, w, c = clip.shape
     pl = c // nc
     return clip.reshape(b, h, w, pl, nc).transpose(0, 3, 1, 2,
                                                    4).reshape(-1, h, w, nc)
 
 
-def run_test_vid(opt: Opt, out_dir: str | None = None) -> dict[str, np.ndarray]:
+def run_test_vid(opt: Opt, out_dir: str | None = None,
+                 regime: str = "video") -> dict[str, np.ndarray]:
+    """Works for both the channel-folded 2D regime and the temporal 3D one."""
     rs = np.random.RandomState(opt.manualSeed or None)
     corpus = VideoCorpus(opt.DATA_ROOT,
                          variants=(("gt", 1.0 - opt.gt1Prob),
                                    ("gt1", opt.gt1Prob)))
     mask = load_mask(opt.maskName) if opt.maskName else None
     host_batch = video_sampler(opt, corpus, mask)(rs)
-    batch = make_preprocess(opt, "video")(
+    batch = make_preprocess(opt, regime)(
         jax.tree.map(jnp.asarray, host_batch),
         jax.random.PRNGKey(opt.manualSeed))
 
-    forward, params, bn_state = load_generator(opt, "video", opt.net)
+    forward, params, bn_state = load_generator(opt, regime, opt.net)
     ctx = masks.apply_logo_mask(batch["real"], batch["mask"], opt.maskValue)
     fake = forward(params, bn_state, ctx)
     inpainted = masks.fill_in(batch["real"], batch["mask"], fake)
