@@ -129,14 +129,17 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
     preprocess = make_preprocess(opt, regime)
     step_fn = make_train_step(opt, regime, with_init=with_init)
 
+    # The per-step RNG key is derived INSIDE the jit from a host integer —
+    # eager jax.random.split per step would be a device round-trip each
+    # iteration (expensive over a remote-TPU link, needless everywhere).
     if with_init:
-        def _fused(state, host_batch, key, init_net):
-            k1, k2 = jax.random.split(key)
+        def _fused(state, host_batch, step_seed, init_net):
+            k1, k2 = jax.random.split(jax.random.PRNGKey(step_seed))
             return step_fn(state, preprocess(host_batch, k1), k2, init_net)
         fused = jax.jit(_fused, donate_argnums=0)
     else:
-        def _fused(state, host_batch, key):
-            k1, k2 = jax.random.split(key)
+        def _fused(state, host_batch, step_seed):
+            k1, k2 = jax.random.split(jax.random.PRNGKey(step_seed))
             return step_fn(state, preprocess(host_batch, k1), k2)
         fused = jax.jit(_fused, donate_argnums=0)
 
@@ -169,6 +172,19 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
     # triplet becomes wall-clock logging + an optional XLA profiler capture).
     prof_started = prof_done = not opt.profileSteps
 
+    # Metrics are logged ONE step late: fetching step k's scalars would block
+    # on its execution, serializing host and device — step k-1's values are
+    # already materialized, so the fetch is free and the device pipeline
+    # (donated-state chain) never drains.
+    pending_log = None
+
+    def _flush_log():
+        nonlocal pending_log
+        if pending_log is not None:
+            logger.log_step(*pending_log[:3],
+                            jax.device_get(pending_log[3]), *pending_log[4:])
+            pending_log = None
+
     try:
         for epoch in range(start_epoch, opt.niter + 1):
             t_epoch = time.perf_counter()
@@ -186,9 +202,9 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
                 host_batch = loader.get_batch()
                 t_data = time.perf_counter() - t0
                 dev_batch = parallel.shard_batch(mesh, host_batch)
-                key, sub = jax.random.split(key)
-                args = (state, dev_batch, sub) + ((init_net,) if with_init
-                                                  else ())
+                step_seed = np.int64(seed * 1_000_003 + done) % np.int64(2**31)
+                args = (state, dev_batch, np.int32(step_seed)) \
+                    + ((init_net,) if with_init else ())
                 state, metrics = fused(*args)
                 if opt.display and (step + 1) % opt.display_iter == 0:
                     key, kp = jax.random.split(key)
@@ -197,13 +213,14 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
                                           pb, kp)
                     _display_dump(opt, regime, jax.device_get(shown),
                                   fake, "display", epoch, step + 1)
+                _flush_log()
                 if (step % opt.logEvery) == 0:
-                    logger.log_step(epoch, step, steps_per_epoch,
-                                    jax.device_get(metrics),
-                                    time.perf_counter() - t0, t_data)
+                    pending_log = (epoch, step, steps_per_epoch, metrics,
+                                   time.perf_counter() - t0, t_data)
                 done += 1
                 if max_steps is not None and done >= max_steps:
                     raise StopIteration
+            _flush_log()
             logger.log_epoch(epoch, opt.niter,
                              time.perf_counter() - t_epoch)
             if epoch % opt.checkpointEvery == 0:
@@ -216,6 +233,7 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
     except StopIteration:
         pass
     finally:
+        _flush_log()
         if prof_started and not prof_done:
             jax.profiler.stop_trace()
         loader.close()
