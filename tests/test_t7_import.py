@@ -235,3 +235,100 @@ def test_flatten_and_import_forward_parity(tmp_path):
     np.testing.assert_allclose(np.asarray(y_ours),
                                y_ref.numpy().transpose(0, 2, 3, 1),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_import_generator_128_out(tmp_path):
+    """128-out video-variant topology (extra ngf mid stage) imports too."""
+    torch.manual_seed(1)
+    nef = ngf = 4
+    nb, nc = 8, 6  # nc*predLen=6 channel-folded
+    conv = lambda i, o, k=4, s=2, p=1: nn.Conv2d(i, o, k, s, p, bias=False)
+    deconv = lambda i, o, k=4, s=2, p=1: nn.ConvTranspose2d(i, o, k, s, p,
+                                                            bias=False)
+    enc = [conv(nc, nef), nn.LeakyReLU(0.2),
+           conv(nef, nef), nn.BatchNorm2d(nef), nn.LeakyReLU(0.2),
+           conv(nef, nef * 2), nn.BatchNorm2d(nef * 2), nn.LeakyReLU(0.2),
+           conv(nef * 2, nef * 4), nn.BatchNorm2d(nef * 4), nn.LeakyReLU(0.2),
+           conv(nef * 4, nef * 8), nn.BatchNorm2d(nef * 8), nn.LeakyReLU(0.2),
+           conv(nef * 8, nb, 4, 1, 0)]
+    mid = [nn.BatchNorm2d(nb), nn.LeakyReLU(0.2)]
+    dec = [deconv(nb, ngf * 8, 4, 1, 0), nn.BatchNorm2d(ngf * 8), nn.ReLU(),
+           deconv(ngf * 8, ngf * 4), nn.BatchNorm2d(ngf * 4), nn.ReLU(),
+           deconv(ngf * 4, ngf * 2), nn.BatchNorm2d(ngf * 2), nn.ReLU(),
+           deconv(ngf * 2, ngf), nn.BatchNorm2d(ngf), nn.ReLU(),
+           deconv(ngf, ngf), nn.BatchNorm2d(ngf), nn.ReLU(),   # 128-out mid
+           deconv(ngf, nc), nn.Tanh()]
+    model = nn.Sequential(*enc, *mid, *dec)
+    for m in model.modules():
+        if isinstance(m, nn.BatchNorm2d):
+            with torch.no_grad():
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+    model.eval()
+    p = tmp_path / "netg128.t7"
+    p.write_bytes(_serialize_netg(enc, mid, dec))
+
+    spec = GeneratorSpec(nc_in=nc, nc_out=nc, nef=nef, ngf=ngf,
+                         n_bottleneck=nb, out_size=128, dtype="float32")
+    params, state = import_generator(read_t7(str(p)), spec)
+    gen = build_generator(spec)
+    rs = np.random.RandomState(2)
+    x = rs.randn(1, 128, 128, nc).astype(np.float32)
+    y_ours, _ = gen.apply(jax.tree.map(jnp.asarray, params),
+                          jax.tree.map(jnp.asarray, state), jnp.asarray(x),
+                          train=False)
+    with torch.no_grad():
+        y_ref = model(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(np.asarray(y_ours),
+                               y_ref.numpy().transpose(0, 2, 3, 1),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_import_discriminator(tmp_path):
+    from video_filler_tpu.checkpoint.t7 import import_discriminator
+    from video_filler_tpu.models import DiscriminatorSpec, build_discriminator
+
+    torch.manual_seed(2)
+    ndf, nc = 8, 3
+    conv = lambda i, o, k=4, s=2, p=1: nn.Conv2d(i, o, k, s, p, bias=False)
+    mods = [conv(nc, ndf // 2), nn.LeakyReLU(0.2),        # 128-in head
+            conv(ndf // 2, ndf), nn.LeakyReLU(0.2),
+            conv(ndf, ndf * 2), nn.BatchNorm2d(ndf * 2), nn.LeakyReLU(0.2),
+            conv(ndf * 2, ndf * 4), nn.BatchNorm2d(ndf * 4), nn.LeakyReLU(0.2),
+            conv(ndf * 4, ndf * 8), nn.BatchNorm2d(ndf * 8), nn.LeakyReLU(0.2),
+            conv(ndf * 8, 1, 4, 1, 0)]
+    tmodel = nn.Sequential(*mods)
+    for m in tmodel.modules():
+        if isinstance(m, nn.BatchNorm2d):
+            with torch.no_grad():
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+    tmodel.eval()
+
+    w = T7Writer()
+    t7_mods = []
+    for m in mods:
+        if isinstance(m, nn.Conv2d):
+            t7_mods.append(_t7_conv(m))
+        elif isinstance(m, nn.BatchNorm2d):
+            t7_mods.append(_t7_bn(m))
+        else:
+            t7_mods.append(("nn.LeakyReLU", {}))
+    t7_mods.append(("nn.Sigmoid", {}))
+    t7_mods.append(("nn.View", {}))
+    w.write(_seq(t7_mods))
+    p = tmp_path / "netd.t7"
+    p.write_bytes(w.buf.getvalue())
+
+    spec = DiscriminatorSpec(nc_in=nc, ndf=ndf, in_size=128, dtype="float32")
+    params, state = import_discriminator(str(p), spec)
+    disc = build_discriminator(spec)
+    rs = np.random.RandomState(3)
+    x = rs.randn(2, 128, 128, nc).astype(np.float32)
+    logits, _ = disc.apply(jax.tree.map(jnp.asarray, params),
+                           jax.tree.map(jnp.asarray, state), jnp.asarray(x),
+                           train=False)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).view(-1)
+    np.testing.assert_allclose(np.asarray(logits), ref.numpy(), rtol=1e-3,
+                               atol=1e-4)

@@ -251,6 +251,21 @@ def import_sequence(modules: list[TorchObject],
     return params, state
 
 
+def import_discriminator(path_or_obj, spec) -> tuple[dict, dict]:
+    """Import a reference netD .t7 into (params, state) for
+    models.build_discriminator(spec) — 64-in (train.lua:181-199) or 128-in
+    (train_vid_weighted.lua:216-227) topologies."""
+    obj = read_t7(path_or_obj) if isinstance(path_or_obj, str) else path_or_obj
+    mods = flatten_modules(obj)
+    if spec.in_size == 64:
+        names = ["conv1", "lrelu1"]
+    else:
+        names = ["conv0", "lrelu0", "conv1", "lrelu1"]
+    names += ["conv2", "bn2", "lrelu2", "conv3", "bn3", "lrelu3",
+              "conv4", "bn4", "lrelu4", "conv5"]
+    return import_sequence(mods, names)
+
+
 def import_generator(path_or_obj, spec) -> tuple[dict, dict]:
     """Import a reference netG .t7 into (params, state) for
     models.build_generator(spec).  Supports the plain (non-noiseGen)
