@@ -172,3 +172,21 @@ def test_logo_step(rng):
     _, metrics = jax.jit(make_train_step(opt, "logo"))(
         state, batch, jax.random.PRNGKey(11))
     assert np.isfinite(float(metrics["errG_total"]))
+
+
+def test_mycrit_composite_lt_one(rng):
+    """train_mycrit composites the D-fake with gt outside the mask whenever
+    weight_nomask < 1 (train_mycrit.lua:431-437) — vid_weighted only at 0."""
+    base = Opt(wtl2=0.999, weight_nomask=0.5, predLen=1, **TINY)
+    batch = _video_batch(11, b=2, pred_len=1)
+    key = jax.random.PRNGKey(12)
+    s0 = init_train_state(rng, base, "video")
+    s_plain, m_plain = jax.jit(make_train_step(base, "video"))(s0, batch, key)
+    s_comp, m_comp = jax.jit(make_train_step(
+        base.replace(compositeLtOne=True), "video"))(s0, batch, key)
+    # with composite the unmasked region has zero reconstruction error,
+    # so the logged L2 must be strictly smaller
+    assert float(m_comp["errG_l2"]) < float(m_plain["errG_l2"])
+    diff = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                        s_plain.params_d, s_comp.params_d)
+    assert max(jax.tree.leaves(diff)) > 0  # D saw different fakes

@@ -80,6 +80,9 @@ class Opt:
     loadIter: int = 0
     withInit: bool = False       # initializer-network cascade
     initName: str = ""
+    compositeLtOne: bool = False # train_mycrit.lua:431 composites the fake
+                                 # with gt outside the mask whenever
+                                 # weight_nomask < 1 (vid_weighted only at 0)
 
     # --- whole-image patch-array regime (train_wholeim_input.lua:42-43,76-77) ---
     array_h: int = 3

@@ -16,7 +16,6 @@ from video_filler_tpu.data.index import VideoCorpus
 from video_filler_tpu.data.pipeline import load_mask, video_sampler
 from video_filler_tpu.eval.common import load_generator
 from video_filler_tpu.ops import masks
-from video_filler_tpu.ops.image import normalize_uint8
 from video_filler_tpu.train.step import make_preprocess
 from video_filler_tpu.utils import save_gif, save_png
 

@@ -21,7 +21,7 @@ Here each layer is an (init, apply) pair of pure functions over pytrees:
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, NamedTuple, Sequence
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

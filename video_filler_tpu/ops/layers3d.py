@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from video_filler_tpu.ops.layers import Layer, _conv_init
+from video_filler_tpu.ops.layers import Layer
 
 DIMNUMS3D = ("NDHWC", "DHWIO", "NDHWC")
 

@@ -16,8 +16,6 @@ bit-equal to the unsharded conv (tested on the virtual CPU mesh).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -152,9 +152,13 @@ def make_train_step(opt: Opt, regime: str, with_init: bool = False):
         def loss_fn(params_g, params_d):
             fake, new_state_g = gen.apply(params_g, state.state_g, g_in,
                                           train=True)
-            # weight_nomask==0: hard composite — only masked pixels come from G,
-            # so gradients flow only through the hole (train_vid_weighted.lua:429-434).
-            if regime in ("video", "video3d", "wholeim") and lam == 0.0:
+            # Hard composite — only masked pixels come from G, so gradients
+            # flow only through the hole.  vid_weighted composites at
+            # weight_nomask==0 (train_vid_weighted.lua:429-434); mycrit
+            # whenever weight_nomask<1 (train_mycrit.lua:431-437,
+            # opt.compositeLtOne).
+            composite = (lam == 0.0) or (opt.compositeLtOne and lam < 1.0)
+            if regime in ("video", "video3d", "wholeim") and composite:
                 d_fake = masks.fill_in(target, mask, fake)
             else:
                 d_fake = fake
