@@ -332,3 +332,51 @@ def test_import_discriminator(tmp_path):
         ref = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).view(-1)
     np.testing.assert_allclose(np.asarray(logits), ref.numpy(), rtol=1e-3,
                                atol=1e-4)
+
+
+def test_import_discriminator_64(tmp_path):
+    """64-in D head (train.lua:181-199): single nc->ndf conv, no BN."""
+    from video_filler_tpu.checkpoint.t7 import import_discriminator
+    from video_filler_tpu.models import DiscriminatorSpec, build_discriminator
+
+    torch.manual_seed(4)
+    ndf, nc = 8, 3
+    conv = lambda i, o, k=4, s=2, p=1: nn.Conv2d(i, o, k, s, p, bias=False)
+    mods = [conv(nc, ndf), nn.LeakyReLU(0.2),
+            conv(ndf, ndf * 2), nn.BatchNorm2d(ndf * 2), nn.LeakyReLU(0.2),
+            conv(ndf * 2, ndf * 4), nn.BatchNorm2d(ndf * 4), nn.LeakyReLU(0.2),
+            conv(ndf * 4, ndf * 8), nn.BatchNorm2d(ndf * 8), nn.LeakyReLU(0.2),
+            conv(ndf * 8, 1, 4, 1, 0)]
+    tmodel = nn.Sequential(*mods)
+    for m in tmodel.modules():
+        if isinstance(m, nn.BatchNorm2d):
+            with torch.no_grad():
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+    tmodel.eval()
+
+    w = T7Writer()
+    t7_mods = []
+    for m in mods:
+        if isinstance(m, nn.Conv2d):
+            t7_mods.append(_t7_conv(m))
+        elif isinstance(m, nn.BatchNorm2d):
+            t7_mods.append(_t7_bn(m))
+        else:
+            t7_mods.append(("nn.LeakyReLU", {}))
+    w.write(_seq(t7_mods))
+    p = tmp_path / "netd64.t7"
+    p.write_bytes(w.buf.getvalue())
+
+    spec = DiscriminatorSpec(nc_in=nc, ndf=ndf, in_size=64, dtype="float32")
+    params, state = import_discriminator(str(p), spec)
+    disc = build_discriminator(spec)
+    rs = np.random.RandomState(5)
+    x = rs.randn(2, 64, 64, nc).astype(np.float32)
+    logits, _ = disc.apply(jax.tree.map(jnp.asarray, params),
+                           jax.tree.map(jnp.asarray, state), jnp.asarray(x),
+                           train=False)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).view(-1)
+    np.testing.assert_allclose(np.asarray(logits), ref.numpy(), rtol=1e-3,
+                               atol=1e-4)

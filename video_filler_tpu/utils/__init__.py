@@ -1,2 +1,2 @@
 from video_filler_tpu.utils.io import save_gif, save_image_grid, save_png  # noqa: F401
-from video_filler_tpu.utils.logger import MetricsLogger, StepTimer  # noqa: F401
+from video_filler_tpu.utils.logger import MetricsLogger  # noqa: F401

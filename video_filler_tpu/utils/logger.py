@@ -12,24 +12,6 @@ from __future__ import annotations
 
 import json
 import os
-import time
-
-
-class StepTimer:
-    """Wall-clock step/data timers (the torch.Timer triplet, train.lua:241-243)."""
-
-    def __init__(self):
-        self.reset()
-
-    def reset(self):
-        self._t0 = time.perf_counter()
-        self.data_time = 0.0
-
-    def mark_data(self, dt: float):
-        self.data_time += dt
-
-    def elapsed(self) -> float:
-        return time.perf_counter() - self._t0
 
 
 class MetricsLogger:
