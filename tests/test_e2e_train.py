@@ -4,6 +4,7 @@ threaded loader -> device preprocess -> fused step -> checkpoint, per regime."""
 import glob
 import os
 
+import jax
 import numpy as np
 import pytest
 
@@ -104,3 +105,19 @@ def test_reference_mask_assets_load():
         assert m.ndim == 3 and m.shape[-1] == 1
         assert set(np.unique(m)) <= {0, 1}
         assert m.sum() > 0, f"{p} has no mask pixels after byte binarization"
+
+
+def test_deterministic_training(video_root, tmp_path, monkeypatch):
+    """Same manualSeed + synchronous loader => bit-identical checkpoints
+    (the reproducibility story the reference only approximates with
+    manualSeed + per-donkey seeds, SURVEY §4)."""
+    monkeypatch.chdir(tmp_path)
+    opt = Opt(DATA_ROOT=video_root, loadSize=150, predLen=1, wtl2=0.999,
+              maskName=os.path.join(video_root, "mask.png"),
+              **{**TINY, "nThreads": 0})
+    s1 = train(opt.replace(name="detA"), "video", quiet=True)
+    s2 = train(opt.replace(name="detB"), "video", quiet=True)
+    for a, b in zip(jax.tree.leaves(s1.params_g), jax.tree.leaves(s2.params_g)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(s1.state_g), jax.tree.leaves(s2.state_g)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -121,3 +121,19 @@ def test_metrics_harness(video_setup, tmp_path):
     write_report(str(out), "video", q, s)
     text = out.read_text()
     assert "PSNR" in text and "frames/s" in text
+
+
+def test_stream_whole_video(video_setup, tmp_path):
+    """Streaming inference walks consecutive windows and writes a continuous
+    inpainted sequence."""
+    from video_filler_tpu.eval.stream import run_stream
+
+    opt, work = video_setup
+    os.chdir(work)
+    out = run_stream(opt.replace(loadSize=160), video=0, start_frame=1,
+                     num_frames=6, out_dir=str(tmp_path / "st"))
+    assert out["frames"].shape[0] == 6
+    assert out["fps"] > 0
+    for i in (1, 6):
+        assert os.path.exists(tmp_path / f"st/inpaint_{i:05d}.png")
+    assert os.path.exists(str(tmp_path / "st") + "_inpaint.gif")
