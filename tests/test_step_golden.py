@@ -191,3 +191,97 @@ def test_full_step_gradients_match_torch(rng):
         ours = np.asarray(grad_d[name]["w"]).transpose(3, 2, 0, 1)
         np.testing.assert_allclose(ours, d_grads_t[i], rtol=2e-3, atol=2e-5,
                                    err_msg=f"D {name}")
+
+
+def test_bn_running_stats_match_torch_after_step(rng):
+    """The step's BN state updates must match torch's running statistics
+    after the same forward sequence (G once; D real-pass then fake-pass,
+    train.lua:299-345)."""
+    torch.manual_seed(1)
+    opt = Opt(nef=NEF, ngf=NGF, ndf=NDF, nBottleneck=NB, batchSize=2,
+              wtl2=WTL2, overlapPred=OVERLAP, computeDtype="float32")
+    tg, td = _torch_generator(), _torch_discriminator()
+    tg.train(), td.train()
+
+    gen, disc = build_for_regime(opt, "center")
+    gp, gs = gen.init(rng)
+    dp, ds = disc.init(jax.random.PRNGKey(1))
+
+    # share D weights/stats (G state checked implicitly through D's inputs
+    # only if G matched too — share both like the gradient golden)
+    tconvs = [m for m in tg if isinstance(m, (nn.Conv2d, nn.ConvTranspose2d))]
+    tbns = [m for m in tg if isinstance(m, nn.BatchNorm2d)]
+    for i, name in enumerate([f"conv{i}" for i in range(6)]):
+        gp["enc"][name]["w"] = jnp.asarray(
+            tconvs[i].weight.detach().numpy().transpose(2, 3, 1, 0))
+    for i, name in enumerate([f"up{i}" for i in range(5)]):
+        gp["dec"][name]["w"] = jnp.asarray(
+            tconvs[6 + i].weight.detach().numpy().transpose(2, 3, 0, 1))
+    for idx, (scope, name) in enumerate(
+            [("enc", f"bn{i}") for i in range(1, 5)] + [(None, "bott_bn")]
+            + [("dec", f"bn{i}") for i in range(4)]):
+        m = tbns[idx]
+        tree_p = gp[scope] if scope else gp
+        tree_s = gs[scope] if scope else gs
+        entry_p = {"gamma": jnp.asarray(m.weight.detach().numpy()),
+                   "beta": jnp.asarray(m.bias.detach().numpy())}
+        entry_s = {"mean": jnp.asarray(m.running_mean.numpy()),
+                   "var": jnp.asarray(m.running_var.numpy())}
+        if scope:
+            tree_p[name], tree_s[name] = entry_p, entry_s
+        else:
+            gp[name], gs[name] = entry_p, entry_s
+    dconvs = [m for m in td if isinstance(m, nn.Conv2d)]
+    dbns = [m for m in td if isinstance(m, nn.BatchNorm2d)]
+    for i, name in enumerate([f"conv{i}" for i in range(1, 6)]):
+        dp[name]["w"] = jnp.asarray(
+            dconvs[i].weight.detach().numpy().transpose(2, 3, 1, 0))
+    for i, name in enumerate([f"bn{i}" for i in range(2, 5)]):
+        m = dbns[i]
+        dp[name] = {"gamma": jnp.asarray(m.weight.detach().numpy()),
+                    "beta": jnp.asarray(m.bias.detach().numpy())}
+        ds[name] = {"mean": jnp.asarray(m.running_mean.numpy()),
+                    "var": jnp.asarray(m.running_var.numpy())}
+
+    rs = np.random.RandomState(7)
+    real = rs.rand(2, 128, 128, 3).astype(np.float32) * 2 - 1
+    real_j = jnp.asarray(real)
+    ctx_j = masks.center_mask_fill(real_j, OVERLAP)
+    center_j = masks.extract_center(real_j)
+
+    # ours: G fwd, D real fwd, D fake fwd (state threaded in order)
+    fake, gs2 = gen.apply(gp, gs, ctx_j, train=True)
+    _, sd1 = disc.apply(dp, ds, center_j, train=True)
+    _, sd2 = disc.apply(dp, sd1, fake, train=True)
+
+    # torch: same sequence
+    real_t = torch.from_numpy(real.transpose(0, 3, 1, 2))
+    ctx_t = real_t.clone()
+    fillv = torch.tensor([2 * 117 / 255 - 1, 2 * 104 / 255 - 1,
+                          2 * 123 / 255 - 1])
+    lo, hi = 32 + OVERLAP, 96 - OVERLAP
+    ctx_t[:, :, lo:hi, lo:hi] = fillv.view(1, 3, 1, 1)
+    with torch.no_grad():
+        fake_t = tg(ctx_t)
+        td(real_t[:, :, 32:96, 32:96])
+        td(fake_t)
+
+    for idx, (scope, name) in enumerate(
+            [("enc", f"bn{i}") for i in range(1, 5)] + [(None, "bott_bn")]
+            + [("dec", f"bn{i}") for i in range(4)]):
+        m = tbns[idx]
+        s = (gs2[scope] if scope else gs2)[name] if scope else gs2[name]
+        np.testing.assert_allclose(np.asarray(s["mean"]),
+                                   m.running_mean.numpy(), rtol=1e-3,
+                                   atol=1e-5, err_msg=f"G {name} mean")
+        np.testing.assert_allclose(np.asarray(s["var"]),
+                                   m.running_var.numpy(), rtol=1e-3,
+                                   atol=1e-5, err_msg=f"G {name} var")
+    for i, name in enumerate([f"bn{i}" for i in range(2, 5)]):
+        m = dbns[i]
+        np.testing.assert_allclose(np.asarray(sd2[name]["mean"]),
+                                   m.running_mean.numpy(), rtol=1e-3,
+                                   atol=1e-5, err_msg=f"D {name} mean")
+        np.testing.assert_allclose(np.asarray(sd2[name]["var"]),
+                                   m.running_var.numpy(), rtol=1e-3,
+                                   atol=1e-5, err_msg=f"D {name} var")
