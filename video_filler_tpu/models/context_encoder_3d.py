@@ -19,6 +19,8 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
+from jax.sharding import NamedSharding, PartitionSpec as P
+
 from video_filler_tpu.ops.layers import (
     Layer,
     batch_norm,
@@ -57,47 +59,93 @@ def _enc_widths(base: int, levels: int) -> list[int]:
     return [base * min(2 ** max(i - 1, 0), 8) for i in range(levels)]
 
 
-def build_generator3d(spec: Video3DSpec) -> Layer:
+def _constrain_in(layer: Layer, mesh, spec: P) -> Layer:
+    """Apply a sharding constraint to the layer's input (same init/params —
+    param-tree names and key splits are untouched, preserving checkpoints)."""
+    def apply(params, state, x, *, train=False):
+        x = jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+        return layer.apply(params, state, x, train=train)
+    return Layer(layer.init, apply)
+
+
+def _constrain_out(layer: Layer, mesh, spec: P) -> Layer:
+    def apply(params, state, x, *, train=False):
+        y, s = layer.apply(params, state, x, train=train)
+        return jax.lax.with_sharding_constraint(y, NamedSharding(mesh, spec)), s
+    return Layer(layer.init, apply)
+
+
+def _conv_factories(spec: Video3DSpec, sp_mesh):
+    """(conv, convT) for the (3,4,4)/(1,2,2)/(1,1,1) stages: plain conv3d
+    layers, or halo-exchange sequence-parallel variants when sp_mesh is a
+    ('data','seq') mesh (parallel/temporal.py).  Identical init in both."""
+    dt, ub = spec.compute_dtype, spec.use_bias
+    if sp_mesh is None:
+        conv = lambda ci, co: conv3d(ci, co, (3, 4, 4), (1, 2, 2), (1, 1, 1),
+                                     ub, dt)
+        convT = lambda ci, co: conv3d_transpose(ci, co, (3, 4, 4), (1, 2, 2),
+                                                (1, 1, 1), ub, dt)
+        return conv, convT
+    from video_filler_tpu.parallel import temporal as sp
+    conv = lambda ci, co: sp.sp_conv3d(sp_mesh, ci, co, (3, 4, 4), (1, 2, 2),
+                                       (1, 1, 1), ub, dt)
+    convT = lambda ci, co: sp.sp_conv3d_transpose(sp_mesh, ci, co, (3, 4, 4),
+                                                  (1, 2, 2), (1, 1, 1), ub, dt)
+    return conv, convT
+
+
+def build_generator3d(spec: Video3DSpec, sp_mesh=None) -> Layer:
     """Encoder: `levels` x (3,4,4)/(1,2,2) conv3d stages down to 4², then a
     (T,4,4)-valid conv to the 1x1x1 bottleneck; decoder mirrors back to
-    (T, S, S, nc) with Tanh."""
+    (T, S, S, nc) with Tanh.
+
+    With ``sp_mesh`` (a ('data','seq') Mesh) the clip's T axis is sharded over
+    'seq': every temporal-kernel-3 conv runs halo-exchange SP; the
+    T-collapsing bottleneck conv gathers T (a tiny T x 4 x 4 activation) and
+    its nBottleneck output channels shard over 'seq' instead, putting the two
+    giant matmuls + bott_bn on the seq devices (TP-in-the-middle); the first
+    decoder stage re-shards T on its way out.
+    """
     nef, ngf, dt, ub = spec.nef, spec.ngf, spec.compute_dtype, spec.use_bias
     t = spec.pred_len
     widths = _enc_widths(nef, spec.levels)
+    conv, convT = _conv_factories(spec, sp_mesh)
 
     enc_layers: list[tuple[str, Layer]] = []
     cin = spec.nc
     for i, w in enumerate(widths):
-        enc_layers.append((f"conv{i}", conv3d(cin, w, (3, 4, 4), (1, 2, 2),
-                                              (1, 1, 1), ub, dt)))
+        enc_layers.append((f"conv{i}", conv(cin, w)))
         if i > 0:
             enc_layers.append((f"bn{i}", batch_norm(w)))
         enc_layers.append((f"lrelu{i}", leaky_relu(0.2)))
         cin = w
-    enc_layers.append((f"conv{len(widths)}",
-                       conv3d(cin, spec.n_bottleneck, (t, 4, 4), (1, 1, 1),
-                              (0, 0, 0), ub, dt)))
+    bott_conv = conv3d(cin, spec.n_bottleneck, (t, 4, 4), (1, 1, 1),
+                       (0, 0, 0), ub, dt)
+    if sp_mesh is not None:
+        bott_conv = _constrain_out(
+            _constrain_in(bott_conv, sp_mesh, P("data")),
+            sp_mesh, P("data", None, None, None, "seq"))
+    enc_layers.append((f"conv{len(widths)}", bott_conv))
     enc = sequential(*enc_layers)
 
     dec_widths = [ngf * min(2 ** i, 8) for i in range(spec.levels - 1)][::-1]
+    up0 = conv3d_transpose(spec.n_bottleneck,
+                           dec_widths[0] if dec_widths else ngf,
+                           (t, 4, 4), (1, 1, 1), (0, 0, 0), ub, dt)
+    if sp_mesh is not None:
+        up0 = _constrain_out(up0, sp_mesh, P("data", "seq"))
     dec_layers: list[tuple[str, Layer]] = [
-        ("up0", conv3d_transpose(spec.n_bottleneck, dec_widths[0] if dec_widths
-                                 else ngf, (t, 4, 4), (1, 1, 1), (0, 0, 0),
-                                 ub, dt)),
+        ("up0", up0),
         ("bn0", batch_norm(dec_widths[0] if dec_widths else ngf)),
         ("relu0", relu()),
     ]
     cin = dec_widths[0] if dec_widths else ngf
     for i, w in enumerate(dec_widths[1:] + [ngf]):
-        dec_layers.append((f"up{i + 1}",
-                           conv3d_transpose(cin, w, (3, 4, 4), (1, 2, 2),
-                                            (1, 1, 1), ub, dt)))
+        dec_layers.append((f"up{i + 1}", convT(cin, w)))
         dec_layers.append((f"bn{i + 1}", batch_norm(w)))
         dec_layers.append((f"relu{i + 1}", relu()))
         cin = w
-    dec_layers.append((f"up{spec.levels}",
-                       conv3d_transpose(cin, spec.nc, (3, 4, 4), (1, 2, 2),
-                                        (1, 1, 1), ub, dt)))
+    dec_layers.append((f"up{spec.levels}", convT(cin, spec.nc)))
     dec_layers.append(("tanh", tanh()))
     dec = sequential(*dec_layers)
 
@@ -127,17 +175,18 @@ def build_generator3d(spec: Video3DSpec) -> Layer:
     return Layer(init, apply)
 
 
-def build_discriminator3d(spec: Video3DSpec) -> Layer:
+def build_discriminator3d(spec: Video3DSpec, sp_mesh=None) -> Layer:
     """3D patch discriminator: (B,T,S,S,nc) -> (B,) logits.  BN-free two-conv
-    head like the 128-in 2D variant (train_vid_weighted.lua:216-227)."""
+    head like the 128-in 2D variant (train_vid_weighted.lua:216-227).
+    With sp_mesh, temporal convs are sequence-parallel and the T-collapsing
+    head gathers T first (see build_generator3d)."""
     ndf, dt, ub = spec.ndf, spec.compute_dtype, spec.use_bias
     t = spec.pred_len
+    conv, _ = _conv_factories(spec, sp_mesh)
     layers: list[tuple[str, Layer]] = [
-        ("conv0", conv3d(spec.nc, ndf // 2, (3, 4, 4), (1, 2, 2), (1, 1, 1),
-                         ub, dt)),
+        ("conv0", conv(spec.nc, ndf // 2)),
         ("lrelu0", leaky_relu(0.2)),
-        ("conv1", conv3d(ndf // 2, ndf, (3, 4, 4), (1, 2, 2), (1, 1, 1),
-                         ub, dt)),
+        ("conv1", conv(ndf // 2, ndf)),
         ("lrelu1", leaky_relu(0.2)),
     ]
     cin = ndf
@@ -145,13 +194,14 @@ def build_discriminator3d(spec: Video3DSpec) -> Layer:
     # head convs + (levels-2) BN stages)
     for i in range(2, spec.levels):
         w = ndf * min(2 ** (i - 1), 8)
-        layers.append((f"conv{i}", conv3d(cin, w, (3, 4, 4), (1, 2, 2),
-                                          (1, 1, 1), ub, dt)))
+        layers.append((f"conv{i}", conv(cin, w)))
         layers.append((f"bn{i}", batch_norm(w)))
         layers.append((f"lrelu{i}", leaky_relu(0.2)))
         cin = w
-    layers.append((f"conv{spec.levels}",
-                   conv3d(cin, 1, (t, 4, 4), (1, 1, 1), (0, 0, 0), ub, dt)))
+    head = conv3d(cin, 1, (t, 4, 4), (1, 1, 1), (0, 0, 0), ub, dt)
+    if sp_mesh is not None:
+        head = _constrain_in(head, sp_mesh, P("data"))
+    layers.append((f"conv{spec.levels}", head))
     net = sequential(*layers)
 
     def init(key):

@@ -7,11 +7,23 @@ holds a contiguous frame chunk, and the temporal-kernel-3 convs exchange
 single-frame halos with their neighbors over ICI (``lax.ppermute``) instead of
 materializing the full clip anywhere.
 
-This is the building block: `temporal_conv3d_sp` == `ops.layers3d.conv3d`
-with kernel (3,kh,kw)/stride (1,sh,sw)/temporal pad 1, for inputs sharded
-(B, T/n, H, W, C) over a mesh axis.  Boundary shards get zero halos —
-ppermute's fill-with-zero for edges IS the zero padding, so the result is
-bit-equal to the unsharded conv (tested on the virtual CPU mesh).
+Pieces, bottom-up:
+
+* ``temporal_conv3d_sp`` — the raw primitive: conv3d with kernel (3,kh,kw) /
+  temporal stride 1 / temporal pad 1 over a (B, T/n, H, W, C)-sharded clip.
+  Boundary shards get zero halos — ppermute's fill-with-zero for edges IS the
+  zero padding, so the result is bit-equal to the unsharded conv.
+* ``sp_conv3d`` / ``sp_conv3d_transpose`` — the same halo exchange packaged as
+  differentiable ``Layer``s (drop-in for ops/layers3d convs with temporal
+  kernel 3/stride 1/pad 1); shard_map transposes ppermute in the backward, so
+  gradients flow with the same neighbor-only communication pattern.
+* ``make_sp_train_step`` — the FULL fused GAN train step over a
+  ('data','seq') mesh: G and D run halo-exchange convs on T-sharded
+  activations; the T-collapsing bottleneck stage gathers T (tiny: T x 4 x 4
+  activations) and shards the giant bottleneck matmuls over 'seq' instead
+  (TP-in-the-middle); BatchNorm statistics and losses reduce over global
+  arrays under jit, so XLA psums them over BOTH mesh axes — DP-and-SP-global
+  statistics with no hand-written collectives.
 """
 
 from __future__ import annotations
@@ -21,7 +33,10 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from video_filler_tpu.ops.layers import Layer
+
 SEQ_AXIS = "seq"
+DATA_AXIS = "data"
 
 
 def make_seq_mesh(n_data: int, n_seq: int, devices=None) -> Mesh:
@@ -29,8 +44,14 @@ def make_seq_mesh(n_data: int, n_seq: int, devices=None) -> Mesh:
     import numpy as np
 
     devices = np.asarray(devices if devices is not None else jax.devices())
+    if n_data < 1 or n_seq < 1:
+        raise ValueError(f"mesh axes must be >=1, got {n_data}x{n_seq}")
+    if n_data * n_seq > devices.size:
+        raise ValueError(
+            f"seq mesh data:{n_data} x seq:{n_seq} = {n_data * n_seq} "
+            f"devices, but only {devices.size} available")
     grid = devices[: n_data * n_seq].reshape(n_data, n_seq)
-    return Mesh(grid, ("data", SEQ_AXIS))
+    return Mesh(grid, (DATA_AXIS, SEQ_AXIS))
 
 
 def _halo_exchange(x_local: jax.Array, axis_name: str) -> jax.Array:
@@ -67,11 +88,138 @@ def temporal_conv3d_sp(mesh: Mesh, x: jax.Array, w: jax.Array,
 
     fn = jax.shard_map(
         kernel, mesh=mesh,
-        in_specs=(P("data", SEQ_AXIS), P()),
-        out_specs=P("data", SEQ_AXIS))
+        in_specs=(P(DATA_AXIS, SEQ_AXIS), P()),
+        out_specs=P(DATA_AXIS, SEQ_AXIS))
     return fn(x, w)
 
 
 def shard_clip(mesh: Mesh, x: jax.Array) -> jax.Array:
     """device_put a (B, T, H, W, C) clip sharded (data, seq)."""
-    return jax.device_put(x, NamedSharding(mesh, P("data", SEQ_AXIS)))
+    return jax.device_put(x, NamedSharding(mesh, P(DATA_AXIS, SEQ_AXIS)))
+
+
+# ---------------------------------------------------------------------------
+# Layer-level SP convs (drop-ins for ops/layers3d with temporal k=3/s=1/p=1)
+# ---------------------------------------------------------------------------
+
+def _sp_init(kt, kh, kw, cin, cout, use_bias):
+    def init(key):
+        w = 0.02 * jax.random.normal(key, (kt, kh, kw, cin, cout),
+                                     dtype=jnp.float32)
+        p = {"w": w}
+        if use_bias:
+            p["b"] = jnp.zeros((cout,), jnp.float32)
+        return p, {}
+    return init
+
+
+def sp_conv3d(mesh: Mesh, cin: int, cout: int, kernel=(3, 4, 4),
+              stride=(1, 2, 2), padding=(1, 1, 1), use_bias: bool = False,
+              dtype=jnp.bfloat16) -> Layer:
+    """ops/layers3d.conv3d with the T axis sharded over the mesh's 'seq' axis.
+
+    Same params/semantics as conv3d(kernel=(3,kh,kw), stride=(1,sh,sw),
+    padding=(1,ph,pw)); the temporal zero padding is realized by the halo
+    exchange's zero boundary fill.  Differentiable: shard_map transposes the
+    ppermute, so the weight gradient is psum'd over both mesh axes and the
+    input cotangent flows back through the mirrored halo pattern.
+    """
+    kt, kh, kw = kernel
+    _, sh, sw = stride
+    pt, ph, pw = padding
+    assert (kt, stride[0], pt) == (3, 1, 1), \
+        "sp_conv3d supports temporal kernel 3 / stride 1 / pad 1"
+
+    def kernel_fn(x_local, w):
+        xp = _halo_exchange(x_local.astype(dtype), SEQ_AXIS)
+        return lax.conv_general_dilated(
+            xp, w.astype(dtype),
+            window_strides=(1, sh, sw),
+            padding=((0, 0), (ph, ph), (pw, pw)),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+    fn = jax.shard_map(kernel_fn, mesh=mesh,
+                       in_specs=(P(DATA_AXIS, SEQ_AXIS), P()),
+                       out_specs=P(DATA_AXIS, SEQ_AXIS))
+
+    def apply(params, state, x, *, train=False):
+        y = fn(x, params["w"])
+        if use_bias:
+            y = y + params["b"].astype(y.dtype)
+        return y, state
+
+    return Layer(_sp_init(kt, kh, kw, cin, cout, use_bias), apply)
+
+
+def sp_conv3d_transpose(mesh: Mesh, cin: int, cout: int, kernel=(3, 4, 4),
+                        stride=(1, 2, 2), padding=(1, 1, 1),
+                        use_bias: bool = False, dtype=jnp.bfloat16) -> Layer:
+    """ops/layers3d.conv3d_transpose with the T axis sharded over 'seq'.
+
+    Temporal k=3/s=1/p=1 transposed conv == regular conv with the reversed
+    kernel and pad 1 — exactly one halo frame per side; spatial upsampling
+    stays the input-dilated form.  out T == in T per shard (no reshard)."""
+    kt, kh, kw = kernel
+    _, sh, sw = stride
+    pt, ph, pw = padding
+    assert (kt, stride[0], pt) == (3, 1, 1), \
+        "sp_conv3d_transpose supports temporal kernel 3 / stride 1 / pad 1"
+
+    def kernel_fn(x_local, w):
+        xp = _halo_exchange(x_local.astype(dtype), SEQ_AXIS)
+        wr = w[::-1, ::-1, ::-1]  # full reverse: transpose of correlation
+        return lax.conv_general_dilated(
+            xp, wr.astype(dtype),
+            window_strides=(1, 1, 1),
+            padding=((0, 0), (kh - 1 - ph,) * 2, (kw - 1 - pw,) * 2),
+            lhs_dilation=(1, sh, sw),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+    fn = jax.shard_map(kernel_fn, mesh=mesh,
+                       in_specs=(P(DATA_AXIS, SEQ_AXIS), P()),
+                       out_specs=P(DATA_AXIS, SEQ_AXIS))
+
+    def apply(params, state, x, *, train=False):
+        y = fn(x, params["w"])
+        if use_bias:
+            y = y + params["b"].astype(y.dtype)
+        return y, state
+
+    return Layer(_sp_init(kt, kh, kw, cin, cout, use_bias), apply)
+
+
+# ---------------------------------------------------------------------------
+# Full sequence-parallel train step
+# ---------------------------------------------------------------------------
+
+def make_sp_train_step(opt, mesh: Mesh, with_init: bool = False):
+    """The video3d fused GAN step with clips T-sharded over mesh axis 'seq'.
+
+    Same semantics as make_train_step(opt, 'video3d') — identical gradients
+    and metrics (CPU-mesh equivalence test) — but every temporal conv runs
+    halo-exchange SP and the bottleneck matmuls are sharded over 'seq'.
+    Returns a jitted step(state, batch, key) -> (state, metrics); shard the
+    inputs with shard_sp_state / shard_sp_batch first.
+    """
+    from video_filler_tpu.train.step import make_train_step
+
+    return jax.jit(make_train_step(opt, "video3d", with_init=with_init,
+                                   sp_mesh=mesh),
+                   donate_argnums=0)
+
+
+def shard_sp_state(mesh: Mesh, state):
+    """Replicate the TrainState over the ('data','seq') mesh (params are
+    small; the sharded things are activations)."""
+    return jax.device_put(state, NamedSharding(mesh, P()))
+
+
+def shard_sp_batch(mesh: Mesh, batch):
+    """real (B,T,H,W,C) -> (data, seq); mask (B,1,H,W,1) -> (data,) — its
+    broadcast T axis has size 1 and cannot shard."""
+    def put(k, x):
+        if k == "real":
+            return jax.device_put(x, NamedSharding(mesh, P(DATA_AXIS,
+                                                           SEQ_AXIS)))
+        return jax.device_put(x, NamedSharding(mesh, P(DATA_AXIS)))
+    return {k: put(k, v) for k, v in batch.items()}

@@ -79,10 +79,13 @@ def _draw_noise(key, opt: Opt, batch: int):
     return jax.random.normal(key, shape)
 
 
-def make_train_step(opt: Opt, regime: str, with_init: bool = False):
+def make_train_step(opt: Opt, regime: str, with_init: bool = False,
+                    sp_mesh=None):
     """Build the fused step for a regime ('center'|'video'|'logo'|'wholeim').
 
     Returns step(state, batch, key[, init_net]) -> (state, metrics).
+    sp_mesh (video3d only): run G/D with sequence-parallel temporal convs
+    over a ('data','seq') mesh (parallel/temporal.py) — same math, T-sharded.
 
     Batch contract (all NHWC float in [-1,1] unless noted):
       center : {'real': (B,fs,fs,nc)}
@@ -92,14 +95,15 @@ def make_train_step(opt: Opt, regime: str, with_init: bool = False):
                 'mask': same-shape {0,1},
                 'masked': (B,fs,fs,nc*arrh*arrw) input patch array}
     """
-    gen, disc = build_for_regime(opt, regime)
+    gen, disc = build_for_regime(opt, regime, sp_mesh=sp_mesh)
     tx_g, tx_d = _optimizers(opt)
     wtl2 = float(opt.wtl2)
     adv_coef = (1.0 - wtl2) if 0.0 < wtl2 < 1.0 else 1.0
     lam = float(opt.weight_nomask)
 
     if with_init:
-        init_gen = build_for_regime(opt, regime)[0]  # G topology for netI
+        # G topology for netI (inference-only; SP not needed)
+        init_gen = build_for_regime(opt, regime, sp_mesh=sp_mesh)[0]
 
     def _prepare(batch, key):
         """Regime-specific (ctx, d_real_input, target, l2_weights, mask)."""
