@@ -82,3 +82,33 @@ def test_tp_params_actually_sharded(rng):
     assert shard_shape[-1] == w.shape[-1] // 4
     up0 = sharded.params_g["dec"]["up0"]["w"]  # (4,4,nB,8ngf) sharded on nB
     assert up0.sharding.shard_shape(up0.shape)[2] == up0.shape[2] // 4
+
+
+def test_make_mesh_rejects_bad_shapes():
+    """Edge cases from MULTICHIP_r01's failure mode: 1 device + model axis 2
+    must raise clearly (not assert with a misleading message or build an
+    empty mesh), as must oversubscription and n_model<1."""
+    import pytest
+
+    one = jax.devices()[:1]
+    with pytest.raises(ValueError, match="does not fit"):
+        parallel.make_mesh(n_model=2, devices=one)
+    with pytest.raises(ValueError, match="needs"):
+        parallel.make_mesh(n_data=4, n_model=2, devices=one)
+    with pytest.raises(ValueError, match="n_model"):
+        parallel.make_mesh(n_model=0)
+    # explicit n_data=0 falls back to all-devices-over-model
+    mesh = parallel.make_mesh(n_data=0, n_model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+
+
+def test_tp_rules_fail_loudly_on_rename(rng):
+    """A param tree whose names don't match the TP rules must raise instead
+    of silently training replicated on a model>1 mesh."""
+    import pytest
+
+    mesh = parallel.make_mesh(n_data=4, n_model=2)
+    fake_state = {"params_g": {"encoder_renamed": {"conv_five": {"w":
+                  jnp.zeros((4, 4, 8, 64))}}}}
+    with pytest.raises(ValueError, match="no parameter matched"):
+        parallel.state_shardings(mesh, fake_state)

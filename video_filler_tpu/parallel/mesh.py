@@ -42,10 +42,18 @@ def make_mesh(n_data: int | None = None, n_model: int = 1,
     the fastest links) and DP across the rest.
     """
     devices = np.asarray(devices if devices is not None else jax.devices())
+    if n_model < 1:
+        raise ValueError(f"n_model must be >= 1, got {n_model}")
     if n_data is None or n_data <= 0:
         n_data = devices.size // n_model
-    assert n_data * n_model <= devices.size, (
-        f"mesh {n_data}x{n_model} needs more than {devices.size} devices")
+        if n_data < 1:
+            raise ValueError(
+                f"model axis {n_model} does not fit: only {devices.size} "
+                f"device(s) available")
+    if n_data * n_model > devices.size:
+        raise ValueError(
+            f"mesh data:{n_data} x model:{n_model} needs "
+            f"{n_data * n_model} devices but only {devices.size} available")
     grid = devices[: n_data * n_model].reshape(n_data, n_model)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
@@ -89,11 +97,24 @@ def state_shardings(mesh: Mesh, train_state: Any) -> Any:
     step is replicated.
     """
     tp = mesh.shape[MODEL_AXIS] > 1
+    matched = 0
 
     def spec_of(path, leaf):
-        return NamedSharding(mesh, _param_spec(path, leaf, tp))
+        nonlocal matched
+        spec = _param_spec(path, leaf, tp)
+        if spec != P():
+            matched += 1
+        return NamedSharding(mesh, spec)
 
-    return jax.tree_util.tree_map_with_path(spec_of, train_state)
+    out = jax.tree_util.tree_map_with_path(spec_of, train_state)
+    if tp and matched == 0:
+        # The TP rules key on param-tree path names; a rename must fail loudly
+        # rather than silently training fully replicated on a model>1 mesh.
+        raise ValueError(
+            "TP requested (model axis > 1) but no parameter matched the "
+            "bottleneck sharding rules — have layer names changed? "
+            "(see _param_spec)")
+    return out
 
 
 def shard_train_state(mesh: Mesh, train_state: Any) -> Any:
