@@ -28,3 +28,69 @@ def test_global_batch_from_local():
     assert arr.sharding.num_devices == 8
     np.testing.assert_array_equal(np.asarray(arr), local["raw"])
     assert distributed.data_axis_size(mesh) == 8
+
+
+def test_two_process_training_matches_single(tmp_path):
+    """A REAL 2-process jax.distributed run on localhost (4 CPU devices per
+    process, 8 global): each host feeds only its slice (asserted in the
+    worker), the loop trains end-to-end, both hosts end with identical
+    replicated params, host 0 alone writes checkpoints — and the result
+    matches a single-process run on the same 8-device batch.
+
+    The dataset is 8 identical 128x128 images, so the global batch content is
+    independent of which host sampled which rows; with the in-jit RNG keyed on
+    the shared seed, multi-process and single-process runs see the same math.
+    """
+    import os
+    import subprocess
+    import sys
+
+    from video_filler_tpu.config import Opt
+    from video_filler_tpu.data.synthetic import _texture
+    from video_filler_tpu.train.loop import train
+    from video_filler_tpu.utils.io import save_png
+
+    img_dir = tmp_path / "data" / "images"
+    img_dir.mkdir(parents=True)
+    img = _texture(np.random.RandomState(0), 128, 128)
+    for i in range(8):
+        save_png(str(img_dir / f"im_{i:04d}.png"), img)
+
+    worker = os.path.join(os.path.dirname(__file__), "_mh_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(i), "12497", str(tmp_path / "data"),
+         str(tmp_path / f"out{i}.npz")],
+        cwd=str(tmp_path), env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{o[-3000:]}"
+
+    d0 = np.load(tmp_path / "out0.npz")
+    d1 = np.load(tmp_path / "out1.npz")
+    assert int(d0["step"]) == int(d1["step"]) == 2
+    # Replicated state must be identical on both hosts.
+    np.testing.assert_array_equal(d0["params_g"], d1["params_g"])
+    # Host 0 checkpoints; host 1 must not write (it logs to its own jsonl).
+    assert (tmp_path / "checkpoints" / "mh_2_state.npz").exists()
+    assert (tmp_path / "logs" / "mh.jsonl").exists()
+    assert (tmp_path / "logs" / "mh_p1.jsonl").exists()
+
+    # Single-process reference on the same data (same seed, same in-jit RNG):
+    # Adam sign-noise bound as in the DP equivalence test.
+    opt = Opt(DATA_ROOT=str(tmp_path / "data"), loadSize=128, wtl2=0.999,
+              nef=8, ngf=8, ndf=8, nBottleneck=32, batchSize=8, nThreads=0,
+              niter=2, ntrain=8, manualSeed=222, display=False,
+              checkpointEvery=5, computeDtype="float32", name="mh_single")
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        s_ref = train(opt, "center", quiet=True)
+    finally:
+        os.chdir(cwd)
+    flat_ref = np.concatenate([np.asarray(x).ravel()
+                               for x in jax.tree.leaves(s_ref.params_g)])
+    np.testing.assert_allclose(flat_ref, d0["params_g"], atol=8.1e-3)

@@ -26,6 +26,7 @@ import jax
 import numpy as np
 
 from video_filler_tpu import parallel
+from video_filler_tpu.parallel import distributed
 from video_filler_tpu.checkpoint import (
     checkpoint_path,
     restore_checkpoint,
@@ -79,13 +80,36 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
     if regime not in REGIMES:
         raise SystemExit(f"unknown regime {regime!r}; expected one of "
                          f"{', '.join(REGIMES)}")
+    # Multi-host: every process runs this same function (SPMD); the mesh
+    # spans all processes' devices, each host's loader feeds only its slice
+    # of the global batch, and host-0 owns logging/checkpoints/display.
+    n_proc, proc = jax.process_count(), jax.process_index()
+    is_main = proc == 0
+    quiet = quiet or not is_main
     seed = opt.manualSeed or int(np.random.randint(1, 10000))
+    if n_proc > 1 and not opt.manualSeed:
+        # Model init / in-jit RNG must agree across hosts.
+        from jax.experimental import multihost_utils
+        import jax.numpy as jnp
+        seed = int(multihost_utils.broadcast_one_to_all(jnp.int32(seed)))
     if not quiet:
         print(f"Seed: {seed}")
     key = jax.random.PRNGKey(seed)
 
-    sampler, ds_size = make_sampler(opt, regime)
-    loader = DataLoader(sampler, opt.nThreads, seed=seed,
+    sampler_opt = opt
+    if n_proc > 1:
+        if opt.modelParallel > 1:
+            raise SystemExit("modelParallel > 1 across processes is not "
+                             "supported with checkpointing yet")
+        _, per_host = distributed.process_batch_slice(opt.batchSize)
+        sampler_opt = opt.replace(batchSize=per_host)
+        if opt.display and is_main:
+            print("display grids disabled under multi-host (outputs are "
+                  "globally sharded)")
+    sampler, ds_size = make_sampler(sampler_opt, regime)
+    # Hosts draw disjoint sample streams: offset the data seed per process
+    # (model/init seed stays shared).
+    loader = DataLoader(sampler, opt.nThreads, seed=seed + 7919 * proc,
                         prefetch_depth=opt.prefetchDepth)
 
     n_data = opt.dataParallel
@@ -163,7 +187,9 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
         fake, _ = gen.apply(params_g, state_g, g_in, train=False)
         return batch, fake
 
-    logger = MetricsLogger(opt.name, quiet=quiet)
+    # Per-process JSONL under multi-host (same shared-FS file would garble).
+    logger = MetricsLogger(opt.name if is_main else f"{opt.name}_p{proc}",
+                           quiet=quiet)
     ntrain = min(ds_size, opt.ntrain)
     steps_per_epoch = max(int(ntrain // opt.batchSize), 1)
     done = 0
@@ -201,12 +227,17 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
                 t0 = time.perf_counter()
                 host_batch = loader.get_batch()
                 t_data = time.perf_counter() - t0
-                dev_batch = parallel.shard_batch(mesh, host_batch)
+                # Single process: plain device_put with the data sharding.
+                # Multi-host: each host contributes only its local rows
+                # (jax.make_array_from_process_local_data).
+                dev_batch = distributed.global_batch_from_local(mesh,
+                                                                host_batch)
                 step_seed = np.int64(seed * 1_000_003 + done) % np.int64(2**31)
                 args = (state, dev_batch, np.int32(step_seed)) \
                     + ((init_net,) if with_init else ())
                 state, metrics = fused(*args)
-                if opt.display and (step + 1) % opt.display_iter == 0:
+                if opt.display and n_proc == 1 and \
+                        (step + 1) % opt.display_iter == 0:
                     key, kp = jax.random.split(key)
                     pb = parallel.shard_batch(mesh, loader.get_batch())
                     shown, fake = preview(state.params_g, state.state_g,
@@ -223,7 +254,7 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
             _flush_log()
             logger.log_epoch(epoch, opt.niter,
                              time.perf_counter() - t_epoch)
-            if epoch % opt.checkpointEvery == 0:
+            if epoch % opt.checkpointEvery == 0 and is_main:
                 p = save_checkpoint(opt.checkpointDir, opt.name, epoch,
                                     state, meta={"epoch": epoch,
                                                  "regime": regime,
@@ -242,6 +273,8 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
 
 
 def main(argv: list[str]) -> None:
+    # Multi-host handshake (cluster auto-detect); no-op for a single process.
+    distributed.initialize()
     kv = [a for a in argv if "=" in a]
     regime = "center"
     rest = []
