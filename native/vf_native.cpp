@@ -241,8 +241,10 @@ int vf_load_clips(const char** paths, int n_clips, int frames, int load_size,
         if (rh < crop || rw < crop) ok = false;
       }
       if (ok) {
-        y0 = rh == crop ? 0 : int(xorshift(&seed) % uint64_t(rh - crop + 1));
-        x0 = rw == crop ? 0 : int(xorshift(&seed) % uint64_t(rw - crop + 1));
+        // Lua parity: math.ceil(torch.uniform(1e-2, iH-oH)) is 1..iH-oH
+        // 1-based == 0..iH-oH-1 0-based — the extreme offset never occurs.
+        y0 = rh <= crop ? 0 : int(xorshift(&seed) % uint64_t(rh - crop));
+        x0 = rw <= crop ? 0 : int(xorshift(&seed) % uint64_t(rw - crop));
         // channel-fold: out[y][x][fi*3+c]
         for (int y = 0; y < crop; ++y) {
           for (int fi = 0; fi < frames; ++fi) {
@@ -259,6 +261,9 @@ int vf_load_clips(const char** paths, int n_clips, int frames, int load_size,
       } else {
         memset(dst, 0, clip_bytes);
         failures.fetch_add(1);
+        // offsets.resized_h == 0 is the per-clip failure flag; rh/rw may
+        // have been set before a size-check failure, so clear explicitly.
+        y0 = x0 = rh = rw = 0;
       }
       if (offsets) {
         offsets[ci * 4 + 0] = y0;

@@ -45,8 +45,8 @@ def _random_crop_hw(rs, h, w, ch, cw):
     """Uniform crop offsets; Lua `math.ceil(torch.uniform(1e-2, iH-oH))` is
     1..iH-oH inclusive (1-based) == 0..iH-oH-1 0-based, i.e. the last oH rows
     can never start a crop at the extreme — match the uniform range."""
-    y = rs.randint(0, max(h - ch, 0) + 1)
-    x = rs.randint(0, max(w - cw, 0) + 1)
+    y = rs.randint(0, max(h - ch, 1))
+    x = rs.randint(0, max(w - cw, 1))
     return y, x
 
 
@@ -71,11 +71,11 @@ def center_sampler(opt: Opt, index: FolderIndex) -> Callable:
         paths = index.sample(rs, opt.batchSize)
         if use_native:
             seeds = rs.randint(1, 2**63, size=opt.batchSize, dtype=np.uint64)
-            out, _, fails = native.load_clips([[p] for p in paths],
-                                              opt.loadSize, fs, seeds)
+            out, offs, fails = native.load_clips([[p] for p in paths],
+                                                 opt.loadSize, fs, seeds)
             if fails:
                 for i, p in enumerate(paths):
-                    if not out[i].any():
+                    if offs[i, 2] == 0:  # per-clip failure flag
                         out[i] = _python_one(rs, p)
             return {"raw": out}
         out = np.empty((opt.batchSize, fs, fs, opt.nc), np.uint8)
@@ -150,10 +150,13 @@ def video_sampler(opt: Opt, corpus: VideoCorpus,
                                                   seeds)
             still = []
             for j, i in enumerate(pending):
-                if offs[j, 2] == 0:  # resized_h unset => decode failure
+                if offs[j, 2] == 0:  # per-clip failure flag (decode error,
+                    # short side < crop, or mismatched frame sizes — the
+                    # native side zeroes rh for every failure mode)
                     raise IOError(
-                        f"native decode failed for clip {clips[j]} — "
-                        "corrupt file or bad corpus path")
+                        f"native load failed for clip {clips[j]} — corrupt "
+                        "file, bad corpus path, or undersized/mismatched "
+                        "frames")
                 if out[j].mean() < 0.1 * 255 and rs.rand() <= 0.95:
                     still.append(i)  # dark-crop rejection: redraw
                     continue

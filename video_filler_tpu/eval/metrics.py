@@ -91,11 +91,14 @@ def bench_inference(opt: Opt, regime: str, iters: int = 50) -> dict:
         gspec, _ = specs_for_regime(opt, regime)
         shape = (opt.batchSize, 128, 128, gspec.nc_in)
     x = jnp.asarray(rs.rand(*shape).astype(np.float32) * 2 - 1)
-    jax.block_until_ready(forward(params, bn_state, x))
+    # Timing MUST end with a value fetch: on the remote (axon) TPU backend
+    # block_until_ready does not wait for execution, reading ~3.5x too fast
+    # (repo invariant, CLAUDE.md; bench.py does the same).
+    float(jnp.sum(forward(params, bn_state, x)))  # warmup + force
     t0 = time.perf_counter()
     for _ in range(iters):
         y = forward(params, bn_state, x)
-    jax.block_until_ready(y)
+    float(jnp.sum(y))  # blocks on the whole dependency chain
     dt = (time.perf_counter() - t0) / iters
     frames_per_clip = max(opt.predLen, 1)
     return {
