@@ -190,3 +190,58 @@ def test_mycrit_composite_lt_one(rng):
     diff = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
                         s_plain.params_d, s_comp.params_d)
     assert max(jax.tree.leaves(diff)) > 0  # D saw different fakes
+
+
+def test_norandblk_donkey_variant_semantics():
+    """donkey_file=...norandblk... must (a) skip the random-block fallback on
+    empty masks and (b) flip only the gt — the mask stays frame-fixed
+    (donkey_folder_norandblk.lua:141-158) — while the default donkey flips
+    clip+mask together and synthesizes blocks for empty masks
+    (donkey_folder.lua:161-180)."""
+    from video_filler_tpu.train.step import make_preprocess
+
+    opt_def = Opt(predLen=1, fineSize=32, **{**TINY, "batchSize": 8})
+    opt_nrb = opt_def.replace(
+        donkey_file="datavid/donkey_folder_norandblk.lua")
+    assert not opt_def.noRandBlk and opt_nrb.noRandBlk
+    pre_def = make_preprocess(opt_def, "video")
+    pre_nrb = make_preprocess(opt_nrb, "video")
+
+    b = 8
+    rs = np.random.RandomState(0)
+    raw = jnp.asarray(rs.randint(0, 256, (b, 32, 32, 3), np.uint8))
+    # mask only on the LEFT quarter of the frame
+    mask = jnp.zeros((b, 32, 32, 1), jnp.uint8).at[:, :, :8, :].set(1)
+    key = jax.random.PRNGKey(3)
+    out_def = pre_def({"raw": raw, "mask": mask}, key)
+    out_nrb = pre_nrb({"raw": raw, "mask": mask}, key)
+
+    # which samples flipped? replicate the preprocess's key derivation
+    k_flip = jax.random.split(key, 3)[2]
+    flipped = np.asarray(jax.random.uniform(k_flip, (b,)) < 0.5)
+    assert flipped.any() and (~flipped).any(), "fixture needs both cases"
+
+    m_def = np.asarray(out_def["mask"])
+    m_nrb = np.asarray(out_nrb["mask"])
+    x_def = np.asarray(out_def["real"])
+    x_nrb = np.asarray(out_nrb["real"])
+    for i in range(b):
+        # norandblk: mask NEVER flips (frame-fixed)
+        assert m_nrb[i, :, :8].all() and not m_nrb[i, :, 8:].any()
+        if flipped[i]:
+            # default: mask flips with the clip
+            assert m_def[i, :, -8:].all() and not m_def[i, :, :-8].any()
+            np.testing.assert_array_equal(x_nrb[i], x_def[i])  # clip flips
+            np.testing.assert_array_equal(
+                x_nrb[i], np.asarray(raw[i, :, ::-1]).astype(np.float32)
+                * (2.0 / 255.0) - 1.0)
+        else:
+            assert m_def[i, :, :8].all() and not m_def[i, :, 8:].any()
+            np.testing.assert_array_equal(x_nrb[i], x_def[i])
+
+    # empty mask: default synthesizes random blocks, norandblk does not
+    empty = jnp.zeros((b, 32, 32, 1), jnp.uint8)
+    out_def_e = pre_def({"raw": raw, "mask": empty}, key)
+    out_nrb_e = pre_nrb({"raw": raw, "mask": empty}, key)
+    assert np.asarray(out_def_e["mask"]).sum() > 0
+    assert np.asarray(out_nrb_e["mask"]).sum() == 0

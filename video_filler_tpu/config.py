@@ -83,6 +83,17 @@ class Opt:
     compositeLtOne: bool = False # train_mycrit.lua:431 composites the fake
                                  # with gt outside the mask whenever
                                  # weight_nomask < 1 (vid_weighted only at 0)
+    donkey_file: str = ""        # video-donkey variant selector
+                                 # (datavid/data.lua:26): a value containing
+                                 # "norandblk" picks the
+                                 # donkey_folder_norandblk.lua behavior —
+                                 # no random-block fallback, and the mask is
+                                 # applied AFTER flipping the gt only (mask
+                                 # stays frame-fixed, norandblk:141-158)
+
+    @property
+    def noRandBlk(self) -> bool:
+        return "norandblk" in self.donkey_file
 
     # --- whole-image patch-array regime (train_wholeim_input.lua:42-43,76-77) ---
     array_h: int = 3

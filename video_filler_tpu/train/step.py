@@ -270,8 +270,12 @@ def make_preprocess(opt: Opt, regime: str):
     def video(batch, key):
         """batch['raw']: (B, H, W, nc*predLen) uint8 channel-folded clip;
         batch['mask']: (B, H, W, 1) (or unbatched) uint8 {0,1} cropped mask.
-        Empty mask crops fall back to random blocks; flip applied to clip and
-        mask together (datavid/donkey_folder.lua:161-180)."""
+        Default donkey: empty mask crops fall back to random blocks, and the
+        flip is applied to clip and mask together
+        (datavid/donkey_folder.lua:161-180).  donkey_file=...norandblk...:
+        no random-block fallback, and only the gt clip is flipped — the mask
+        stays frame-fixed, so the masked region covers different content on
+        flipped samples (donkey_folder_norandblk.lua:141-158)."""
         k_crop, k_blk, k_flip = jax.random.split(key, 3)
         raw, mask = batch["raw"], batch["mask"]
         b = raw.shape[0]
@@ -282,9 +286,13 @@ def make_preprocess(opt: Opt, regime: str):
                                     mask.astype(jnp.uint8)], axis=-1)
             both = image_ops.random_crop(k_crop, both, opt.fineSize)
             raw, mask = both[..., :-1], both[..., -1:]
-        m = masks.mask_or_random_block(k_blk, mask.astype(jnp.float32))
         x = image_ops.normalize_uint8(raw)
-        x, m = image_ops.random_hflip(k_flip, x, 0.5, m)
+        if opt.noRandBlk:
+            m = mask.astype(jnp.float32)
+            x = image_ops.random_hflip(k_flip, x)  # gt only; mask unflipped
+        else:
+            m = masks.mask_or_random_block(k_blk, mask.astype(jnp.float32))
+            x, m = image_ops.random_hflip(k_flip, x, 0.5, m)
         return {"real": x, "mask": m}
 
     def logo(batch, key):
