@@ -245,3 +245,34 @@ def test_norandblk_donkey_variant_semantics():
     out_nrb_e = pre_nrb({"raw": raw, "mask": empty}, key)
     assert np.asarray(out_def_e["mask"]).sum() > 0
     assert np.asarray(out_nrb_e["mask"]).sum() == 0
+
+
+def test_adam_moments_bf16_flag_trains():
+    """adamMomentsBf16 (HBM-saving opt-in, step._adam_lowmem): moments are
+    stored bf16, the step runs and moves params in roughly the same direction
+    as the f32 path on step 1 (identical up to moment rounding)."""
+    opt = Opt(wtl2=0.999, **TINY)
+    batch = _center_batch()
+    key = jax.random.PRNGKey(0)
+
+    s_f32 = init_train_state(jax.random.PRNGKey(5), opt, "center")
+    step_f32 = jax.jit(make_train_step(opt, "center"))
+    opt_bf = opt.replace(adamMomentsBf16=True)
+    s_bf = init_train_state(jax.random.PRNGKey(5), opt_bf, "center")
+    step_bf = jax.jit(make_train_step(opt_bf, "center"))
+
+    mu = jax.tree.leaves(s_bf.opt_g)[0]
+    assert any(l.dtype == jnp.bfloat16 for l in jax.tree.leaves(s_bf.opt_g))
+
+    s1, m1 = step_f32(s_f32, batch, key)
+    s2, m2 = step_bf(s_bf, batch, key)
+    np.testing.assert_allclose(float(m1["errD"]), float(m2["errD"]),
+                               rtol=1e-5)
+    # step-1 updates agree to bf16 moment rounding (~2^-8 relative on the
+    # Adam direction, amplified at g~0 like everywhere else)
+    a = np.concatenate([np.asarray(x).ravel()
+                        for x in jax.tree.leaves(s1.params_g)])
+    b = np.concatenate([np.asarray(x).ravel()
+                        for x in jax.tree.leaves(s2.params_g)])
+    assert np.abs(a - b).max() < 2.1 * 10 * opt.lr
+    assert np.percentile(np.abs(a - b), 50) < 1e-4

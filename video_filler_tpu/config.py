@@ -125,6 +125,10 @@ class Opt:
     gdlTorchQuirk: bool = False      # reproduce reference GDL-backward-is-MSE bug
     usePallasLoss: bool = False      # Pallas fused weighted-MSE (see
                                      # ops/pallas/fused_loss.py for why off)
+    adamMomentsBf16: bool = False    # bf16 Adam moment storage: +8-14%
+                                     # step throughput (HBM-bound state),
+                                     # slightly perturbed trajectories —
+                                     # opt-in (see step._adam_lowmem)
     video3dLevels: int = 5           # 3D family spatial halvings;
                                      # input size = 4*2**levels (128 at 5)
     useBias: bool = False            # reference zeroes conv biases every step

@@ -53,10 +53,52 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
+def _adam_lowmem(lr: float, b1: float, b2: float = 0.999,
+                 eps: float = 1e-8) -> optax.GradientTransformation:
+    """Adam with bfloat16 moment storage (math in f32 registers).
+
+    The two 32.8M-param bottleneck weights put the f32 Adam state on the HBM
+    roofline (~26% of the fused step, measured by a SGD ablation on v5e);
+    bf16 mu/nu halve that state's traffic — measured +8-14% step throughput.
+    Trade-off: ~2^-8 relative rounding on the moments perturbs trajectories
+    (visibly after ~100 steps), so this is OPT-IN (`adamMomentsBf16`), never
+    the default; the torch-golden trajectory tests pin the f32 path.
+    """
+
+    def init(params):
+        z = jax.tree.map(lambda p: jnp.zeros_like(p, dtype=jnp.bfloat16),
+                         params)
+        return {"mu": z, "nu": jax.tree.map(jnp.copy, z),
+                "count": jnp.zeros((), jnp.int32)}
+
+    def update(grads, state, params=None):
+        count = state["count"] + 1
+        mu = jax.tree.map(
+            lambda m, g: (b1 * m.astype(jnp.float32)
+                          + (1 - b1) * g).astype(jnp.bfloat16),
+            state["mu"], grads)
+        nu = jax.tree.map(
+            lambda v, g: (b2 * v.astype(jnp.float32)
+                          + (1 - b2) * jnp.square(g)).astype(jnp.bfloat16),
+            state["nu"], grads)
+        c = count.astype(jnp.float32)
+        bc1, bc2 = 1 - b1 ** c, 1 - b2 ** c
+        upd = jax.tree.map(
+            lambda m, v: -lr * (m.astype(jnp.float32) / bc1)
+            / (jnp.sqrt(v.astype(jnp.float32) / bc2) + eps),
+            mu, nu)
+        return upd, {"mu": mu, "nu": nu, "count": count}
+
+    return optax.GradientTransformation(init, update)
+
+
 def _optimizers(opt: Opt):
     """Two Adams; G LR is 10x D's when 0<wtl2<1 (train.lua:218-226)."""
     g_lr = opt.lr * 10.0 if 0.0 < opt.wtl2 < 1.0 else opt.lr
-    adam = lambda lr: optax.adam(lr, b1=opt.beta1, b2=0.999, eps=1e-8)
+    if opt.adamMomentsBf16:
+        adam = lambda lr: _adam_lowmem(lr, opt.beta1)
+    else:
+        adam = lambda lr: optax.adam(lr, b1=opt.beta1, b2=0.999, eps=1e-8)
     return adam(g_lr), adam(opt.lr)
 
 
