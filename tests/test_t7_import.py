@@ -380,3 +380,142 @@ def test_import_discriminator_64(tmp_path):
         ref = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).view(-1)
     np.testing.assert_allclose(np.asarray(logits), ref.numpy(), rtol=1e-3,
                                atol=1e-4)
+
+
+class T7WriterExt(T7Writer):
+    """Writer extensions for serialization corner cases."""
+
+    def ref(self, idx):
+        """Reference a previously-emitted object by memo index."""
+        self._i32(4)
+        self._i32(idx)
+
+    def storage_typed(self, arr, cls, legacy=False):
+        self._i32(4)
+        idx = self.next_idx
+        self.next_idx += 1
+        self._i32(idx)
+        if not legacy:
+            self._raw_str("V 1")
+        self._raw_str(cls)
+        self._i64(arr.size)
+        self.buf.write(np.ascontiguousarray(arr).tobytes())
+        return idx
+
+    def tensor_header(self, cls, shape, strides, offset1, legacy=False):
+        self._i32(4)
+        idx = self.next_idx
+        self.next_idx += 1
+        self._i32(idx)
+        if not legacy:
+            self._raw_str("V 1")
+        self._raw_str(cls)
+        self._i32(len(shape))
+        for s in shape:
+            self._i64(s)
+        for s in strides:
+            self._i64(s)
+        self._i64(offset1)
+        return idx
+
+
+def test_reader_shared_storage(tmp_path):
+    """Two tensors viewing ONE storage (torch shared-storage serialization):
+    the second tensor's storage record is a memo reference."""
+    w = T7WriterExt()
+    data = np.arange(12, dtype=np.float32)
+    # table {a: tensor over full storage, b: transposed view of the same}
+    w._i32(3); w._i32(w.next_idx); w.next_idx += 1; w._i32(2)
+    w.string("a")
+    w.tensor_header("torch.FloatTensor", (3, 4), (4, 1), 1)
+    sidx = w.storage_typed(data, "torch.FloatStorage")
+    w.string("b")
+    w.tensor_header("torch.FloatTensor", (4, 3), (1, 4), 1)  # transpose view
+    w.ref(sidx)
+    p = tmp_path / "shared.t7"
+    p.write_bytes(w.buf.getvalue())
+    obj = read_t7(str(p))
+    np.testing.assert_array_equal(obj["a"], data.reshape(3, 4))
+    np.testing.assert_array_equal(obj["b"], data.reshape(3, 4).T)
+
+
+def test_reader_storage_offset_view(tmp_path):
+    """1-based storage offset + narrow view (torch narrow/select)."""
+    w = T7WriterExt()
+    data = np.arange(10, dtype=np.float32)
+    w.tensor_header("torch.FloatTensor", (2, 3), (3, 1), 3)  # offset 3 (1-based)
+    w.storage_typed(data, "torch.FloatStorage")
+    p = tmp_path / "off.t7"
+    p.write_bytes(w.buf.getvalue())
+    t = read_t7(str(p))
+    np.testing.assert_array_equal(t, [[2, 3, 4], [5, 6, 7]])
+
+
+def test_reader_char_and_byte_storages(tmp_path):
+    """CharStorage (int8) and ByteStorage (uint8) tensors — the reference
+    stores masks as ByteTensor (datavid/donkey_folder.lua:29-35)."""
+    w = T7WriterExt()
+    w._i32(3); w._i32(w.next_idx); w.next_idx += 1; w._i32(2)
+    w.string("c")
+    w.tensor_header("torch.CharTensor", (4,), (1,), 1)
+    w.storage_typed(np.array([-3, -1, 0, 7], np.int8), "torch.CharStorage")
+    w.string("y")
+    w.tensor_header("torch.ByteTensor", (4,), (1,), 1)
+    w.storage_typed(np.array([0, 1, 255, 128], np.uint8), "torch.ByteStorage")
+    p = tmp_path / "cb.t7"
+    p.write_bytes(w.buf.getvalue())
+    obj = read_t7(str(p))
+    np.testing.assert_array_equal(obj["c"], [-3, -1, 0, 7])
+    assert obj["c"].dtype == np.int8
+    np.testing.assert_array_equal(obj["y"], [0, 1, 255, 128])
+    assert obj["y"].dtype == np.uint8
+
+
+def test_reader_legacy_no_version_header(tmp_path):
+    """Pre-'V 1' torch files write the classname where the version string
+    would be (t7.py:123-127)."""
+    w = T7WriterExt()
+    w.tensor_header("torch.FloatTensor", (2, 2), (2, 1), 1, legacy=True)
+    w.storage_typed(np.arange(4, dtype=np.float32), "torch.FloatStorage",
+                    legacy=True)
+    p = tmp_path / "legacy.t7"
+    p.write_bytes(w.buf.getvalue())
+    t = read_t7(str(p))
+    np.testing.assert_array_equal(t, [[0, 1], [2, 3]])
+
+
+def test_reader_shared_table_identity(tmp_path):
+    """The same table referenced twice deserializes to ONE object."""
+    w = T7WriterExt()
+    w._i32(3); w._i32(w.next_idx); outer = w.next_idx; w.next_idx += 1
+    w._i32(2)
+    w.string("x")
+    w._i32(3); w._i32(w.next_idx); inner = w.next_idx; w.next_idx += 1
+    w._i32(1)
+    w.string("k"); w.number(42.0)
+    w.string("y")
+    w._i32(3); w._i32(inner)  # memo reference to the inner table
+    p = tmp_path / "sharedtab.t7"
+    p.write_bytes(w.buf.getvalue())
+    obj = read_t7(str(p))
+    assert obj["x"] is obj["y"] and obj["x"]["k"] == 42.0
+
+
+def test_reader_int_long_double_storages(tmp_path):
+    w = T7WriterExt()
+    w._i32(3); w._i32(w.next_idx); w.next_idx += 1; w._i32(3)
+    w.string("i")
+    w.tensor_header("torch.IntTensor", (3,), (1,), 1)
+    w.storage_typed(np.array([1, -2, 3], np.int32), "torch.IntStorage")
+    w.string("l")
+    w.tensor_header("torch.LongTensor", (2,), (1,), 1)
+    w.storage_typed(np.array([2**40, -5], np.int64), "torch.LongStorage")
+    w.string("d")
+    w.tensor_header("torch.DoubleTensor", (2,), (1,), 1)
+    w.storage_typed(np.array([1.5, -0.25], np.float64), "torch.DoubleStorage")
+    p = tmp_path / "ild.t7"
+    p.write_bytes(w.buf.getvalue())
+    obj = read_t7(str(p))
+    np.testing.assert_array_equal(obj["i"], [1, -2, 3])
+    np.testing.assert_array_equal(obj["l"], [2**40, -5])
+    np.testing.assert_array_equal(obj["d"], [1.5, -0.25])
