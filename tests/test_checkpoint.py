@@ -67,3 +67,40 @@ def test_shape_mismatch_fails_loudly(tmp_path, rng):
     wrong = init_train_state(rng, opt.replace(nef=16), "center")
     with pytest.raises(ValueError, match="shape mismatch"):
         restore_checkpoint(path, wrong)
+
+
+def test_restore_subtree_g_only(tmp_path, rng):
+    """G-only import (ckpt.restore_subtree): loads the generator from a full
+    checkpoint without requiring D/optimizer shape match — the reference's
+    util.load-a-single-net semantics for initName/eval."""
+    from video_filler_tpu.checkpoint import restore_subtree, save_checkpoint
+    from video_filler_tpu.config import Opt
+    from video_filler_tpu.models import build_for_regime
+    from video_filler_tpu.train import init_train_state
+
+    opt = Opt(nef=8, ngf=8, ndf=8, nBottleneck=32, computeDtype="float32")
+    state = init_train_state(rng, opt, "video")
+    p = save_checkpoint(str(tmp_path), "g_only", 1, state, meta={})
+
+    gen = build_for_regime(opt, "video")[0]
+    params_t, state_t = gen.init(jax.random.PRNGKey(42))  # different init
+    params = restore_subtree(p, params_t, ".params_g")
+    bn = restore_subtree(p, state_t, ".state_g")
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(state.params_g)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(bn), jax.tree.leaves(state.state_g)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # a DIFFERENT-ndf target must still succeed (D never touched)...
+    gen2 = build_for_regime(opt.replace(ndf=16), "video")[0]
+    pt2, _ = gen2.init(rng)
+    params2 = restore_subtree(p, pt2, ".params_g")
+    assert jax.tree.all(jax.tree.map(
+        lambda a, b: bool(np.array_equal(np.asarray(a), np.asarray(b))),
+        params2, params))
+    # ...while a wrong-G target fails loudly
+    gen3 = build_for_regime(opt.replace(ngf=16), "video")[0]
+    pt3, _ = gen3.init(rng)
+    import pytest
+    with pytest.raises((KeyError, ValueError)):
+        restore_subtree(p, pt3, ".params_g")

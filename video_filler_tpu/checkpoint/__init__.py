@@ -2,5 +2,6 @@ from video_filler_tpu.checkpoint.ckpt import (  # noqa: F401
     checkpoint_path,
     restore_checkpoint,
     restore_latest,
+    restore_subtree,
     save_checkpoint,
 )

@@ -73,6 +73,31 @@ def restore_checkpoint(path: str, target: Any) -> tuple[Any, dict]:
     return jax.tree_util.tree_unflatten(treedef, leaves), meta
 
 
+def restore_subtree(path: str, target: Any, prefix: str) -> Any:
+    """Restore only the leaves stored under `prefix` into `target`.
+
+    E.g. ``restore_subtree(p, params_g_like, ".params_g")`` imports JUST the
+    generator from any checkpoint whose G matches — the reference's
+    util.load-a-single-net semantics (netI loads, train_mycrit.lua:261-265) —
+    without requiring the discriminator/optimizer shapes to match (so a video
+    checkpoint works as ``initName`` across regime variants)."""
+    with np.load(path, allow_pickle=False) as data:
+        stored = {k: data[k] for k in data.files if k != "__meta__"}
+    paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(target)
+    leaves = []
+    for path_t, leaf in paths_leaves:
+        key = prefix + jax.tree_util.keystr(path_t)
+        if key not in stored:
+            raise KeyError(f"checkpoint missing leaf {key}")
+        arr = stored[key]
+        if tuple(arr.shape) != tuple(np.shape(leaf)):
+            raise ValueError(
+                f"shape mismatch for {key}: checkpoint {arr.shape} vs "
+                f"target {np.shape(leaf)}")
+        leaves.append(arr.astype(np.asarray(leaf).dtype))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def restore_latest(ckpt_dir: str, name: str, target: Any):
     """Resume from the highest-epoch checkpoint, or None if none exist
     (the loadName/loadIter finetune path, train_vid_weighted.lua:242-257)."""

@@ -4,23 +4,25 @@ from __future__ import annotations
 
 import jax
 
-from video_filler_tpu.checkpoint import restore_checkpoint
+from video_filler_tpu.checkpoint import restore_subtree
 from video_filler_tpu.config import Opt
 from video_filler_tpu.models import build_for_regime
-from video_filler_tpu.train.step import init_train_state
 
 
 def load_generator(opt: Opt, regime: str, net_path: str):
-    """Load a training checkpoint and return (forward, params_g, state_g)
-    with forward jitted in eval mode (net:evaluate() in every reference test
-    script — BN uses running statistics)."""
-    target = init_train_state(jax.random.PRNGKey(0), opt, regime)
-    state, _meta = restore_checkpoint(net_path, target)
+    """Load JUST the generator from a training checkpoint and return
+    (forward, params_g, state_g) with forward jitted in eval mode
+    (net:evaluate() in every reference test script — BN uses running
+    statistics).  Only the G leaves need to match: D/optimizer shapes in the
+    file are ignored (util.load-a-single-net semantics)."""
     gen = build_for_regime(opt, regime)[0]
+    params_t, state_t = gen.init(jax.random.PRNGKey(0))
+    params = restore_subtree(net_path, params_t, ".params_g")
+    bn_state = restore_subtree(net_path, state_t, ".state_g")
 
     @jax.jit
     def forward(params, bn_state, x):
         y, _ = gen.apply(params, bn_state, x, train=False)
         return y
 
-    return forward, state.params_g, state.state_g
+    return forward, params, bn_state

@@ -144,11 +144,15 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
     init_net = None
     with_init = bool(opt.withInit and opt.initName)
     if with_init:
-        # Initializer cascade: a pre-trained generator checkpoint run ahead of
-        # G (train_mycrit.lua:261-265,402-405).
-        target = init_train_state(jax.random.PRNGKey(0), opt, regime)
-        init_state_full, _ = restore_checkpoint(opt.initName, target)
-        init_net = (init_state_full.params_g, init_state_full.state_g)
+        # Initializer cascade: a pre-trained generator checkpoint run ahead
+        # of G (train_mycrit.lua:261-265,402-405).  G-only import — the
+        # checkpoint's D/optimizer shapes need not match this run's config
+        # (util.load loads a single net, util.lua:99-105).
+        from video_filler_tpu.checkpoint import restore_subtree
+        from video_filler_tpu.models import build_for_regime as _bfr
+        g_target = _bfr(opt, regime)[0].init(jax.random.PRNGKey(0))
+        init_net = (restore_subtree(opt.initName, g_target[0], ".params_g"),
+                    restore_subtree(opt.initName, g_target[1], ".state_g"))
 
     preprocess = make_preprocess(opt, regime)
     step_fn = make_train_step(opt, regime, with_init=with_init)
