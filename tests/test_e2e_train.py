@@ -121,3 +121,25 @@ def test_deterministic_training(video_root, tmp_path, monkeypatch):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     for a, b in zip(jax.tree.leaves(s1.state_g), jax.tree.leaves(s2.state_g)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_video3d_sequence_parallel_e2e(video_root, tmp_path, monkeypatch):
+    """The full training loop in SP mode: video3d clips T-sharded over a
+    ('data','seq') mesh via seqParallel (halo-exchange temporal convs through
+    the real loop, not just the step)."""
+    monkeypatch.chdir(tmp_path)
+    opt = Opt(DATA_ROOT=video_root, loadSize=40, fineSize=32,
+              video3dLevels=3, predLen=4, wtl2=0.999, weight_nomask=0.05,
+              maskName=os.path.join(video_root, "mask.png"),
+              dataParallel=4, seqParallel=2,
+              **{**TINY, "batchSize": 4, "nBottleneck": 16})
+    state = train(opt, "video3d", quiet=True)
+    assert int(state.step) == 2  # min(16 clips, ntrain 8) // batch 4
+    assert glob.glob("checkpoints/train1_1_state.npz")
+
+    # misconfigurations fail loudly
+    import pytest
+    with pytest.raises(SystemExit, match="video3d"):
+        train(opt.replace(), "video", quiet=True)
+    with pytest.raises(SystemExit, match="divide"):
+        train(opt.replace(predLen=3), "video3d", quiet=True)

@@ -116,6 +116,11 @@ class Opt:
     computeDtype: str = "bfloat16"   # conv/matmul compute dtype; params stay f32
     dataParallel: int = 0            # 0 = all local devices on the data axis
     modelParallel: int = 1           # TP axis size (shards bottleneck matmul)
+    seqParallel: int = 1             # SP axis size (video3d only): clips
+                                     # T-sharded over a ('data','seq') mesh,
+                                     # halo-exchange temporal convs
+                                     # (parallel/temporal.py); predLen must
+                                     # divide by it
     checkpointEvery: int = 20        # epochs (train.lua:460; wholeim uses 2)
     checkpointDir: str = "checkpoints"
     autoResume: bool = False         # resume from the latest checkpoint of

@@ -112,12 +112,31 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
     loader = DataLoader(sampler, opt.nThreads, seed=seed + 7919 * proc,
                         prefetch_depth=opt.prefetchDepth)
 
-    n_data = opt.dataParallel
-    if not n_data:
-        # Largest data-axis size that divides the batch and fits the devices.
-        avail = len(jax.devices()) // opt.modelParallel
-        n_data = math.gcd(opt.batchSize, avail) if avail else 1
-    mesh = parallel.make_mesh(n_data=n_data, n_model=opt.modelParallel)
+    sp_mesh = None
+    if opt.seqParallel > 1:
+        # Sequence parallelism (video3d): clips T-sharded over 'seq', batch
+        # over 'data' (parallel/temporal.py).  TP and SP are exclusive — the
+        # SP bottleneck already reuses the seq axis for its matmuls.
+        from video_filler_tpu.parallel import temporal
+        if regime != "video3d":
+            raise SystemExit("seqParallel requires regime=video3d "
+                             "(the 2D regimes have no temporal axis)")
+        if opt.predLen % opt.seqParallel:
+            raise SystemExit(f"predLen {opt.predLen} must divide by "
+                             f"seqParallel {opt.seqParallel}")
+        if opt.modelParallel > 1:
+            raise SystemExit("seqParallel and modelParallel are exclusive")
+        n_data = opt.dataParallel or \
+            max(len(jax.devices()) // opt.seqParallel, 1)
+        mesh = sp_mesh = temporal.make_seq_mesh(n_data=n_data,
+                                                n_seq=opt.seqParallel)
+    else:
+        n_data = opt.dataParallel
+        if not n_data:
+            # Largest data-axis size dividing the batch that fits the devices.
+            avail = len(jax.devices()) // opt.modelParallel
+            n_data = math.gcd(opt.batchSize, avail) if avail else 1
+        mesh = parallel.make_mesh(n_data=n_data, n_model=opt.modelParallel)
     key, k_init = jax.random.split(key)
     state = init_train_state(k_init, opt, regime)
 
@@ -139,7 +158,11 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
         start_epoch = opt.loadIter + 1
         if not quiet:
             print(f"Resumed {path} at epoch {opt.loadIter}")
-    state = parallel.shard_train_state(mesh, state)
+    if sp_mesh is not None:
+        from video_filler_tpu.parallel import temporal
+        state = temporal.shard_sp_state(sp_mesh, state)
+    else:
+        state = parallel.shard_train_state(mesh, state)
 
     init_net = None
     with_init = bool(opt.withInit and opt.initName)
@@ -155,7 +178,8 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
                     restore_subtree(opt.initName, g_target[1], ".state_g"))
 
     preprocess = make_preprocess(opt, regime)
-    step_fn = make_train_step(opt, regime, with_init=with_init)
+    step_fn = make_train_step(opt, regime, with_init=with_init,
+                              sp_mesh=sp_mesh)
 
     # The per-step RNG key is derived INSIDE the jit from a host integer —
     # eager jax.random.split per step would be a device round-trip each
