@@ -54,8 +54,19 @@ def make_mesh(n_data: int | None = None, n_model: int = 1,
         raise ValueError(
             f"mesh data:{n_data} x model:{n_model} needs "
             f"{n_data * n_model} devices but only {devices.size} available")
-    grid = devices[: n_data * n_model].reshape(n_data, n_model)
+    grid = _device_grid(devices[: n_data * n_model], (n_data, n_model))
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def _device_grid(devices: np.ndarray, shape: tuple[int, ...]) -> np.ndarray:
+    """ICI-topology-aware device grid: on real TPU meshes
+    jax.experimental.mesh_utils picks an assignment that keeps the minor
+    (model/seq) axis on the fastest links; plain reshape otherwise."""
+    try:
+        from jax.experimental import mesh_utils
+        return mesh_utils.create_device_mesh(shape, devices=list(devices))
+    except Exception:
+        return np.asarray(devices).reshape(shape)
 
 
 def replicate(mesh: Mesh) -> NamedSharding:

@@ -50,7 +50,8 @@ def make_seq_mesh(n_data: int, n_seq: int, devices=None) -> Mesh:
         raise ValueError(
             f"seq mesh data:{n_data} x seq:{n_seq} = {n_data * n_seq} "
             f"devices, but only {devices.size} available")
-    grid = devices[: n_data * n_seq].reshape(n_data, n_seq)
+    from video_filler_tpu.parallel.mesh import _device_grid
+    grid = _device_grid(devices[: n_data * n_seq], (n_data, n_seq))
     return Mesh(grid, (DATA_AXIS, SEQ_AXIS))
 
 
