@@ -143,3 +143,30 @@ def test_video3d_sequence_parallel_e2e(video_root, tmp_path, monkeypatch):
         train(opt.replace(), "video", quiet=True)
     with pytest.raises(SystemExit, match="divide"):
         train(opt.replace(predLen=3), "video3d", quiet=True)
+
+
+def test_halt_on_nonfinite_loss(image_root, tmp_path, monkeypatch):
+    """Divergence detection: a NaN loss halts with a clear error (instead of
+    silently training on NaNs); haltOnNonFinite=0 pushes through."""
+    import video_filler_tpu.train.loop as loop_mod
+    from video_filler_tpu.train.step import make_train_step as real_mts
+
+    def poisoned_mts(opt, regime, with_init=False, sp_mesh=None):
+        step = real_mts(opt, regime, with_init=with_init, sp_mesh=sp_mesh)
+
+        def bad_step(state, batch, key, *a):
+            new_state, metrics = step(state, batch, key, *a)
+            metrics["errD"] = metrics["errD"] * jnp.float32(np.nan)
+            return new_state, metrics
+        return bad_step
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(loop_mod, "make_train_step", poisoned_mts)
+    import jax.numpy as jnp
+    opt = Opt(DATA_ROOT=image_root, loadSize=140, wtl2=0.999, **TINY)
+    with pytest.raises(RuntimeError, match="diverged"):
+        train(opt, "center", quiet=True)
+    # opt-out still completes
+    state = train(opt.replace(haltOnNonFinite=False, name="nf_off"),
+                  "center", quiet=True)
+    assert int(state.step) == 3

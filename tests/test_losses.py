@@ -107,3 +107,51 @@ def test_psnr():
     assert float(losses.psnr(x, x)) > 100
     y = jnp.ones((1, 4, 4, 3)) * 2.0
     np.testing.assert_allclose(float(losses.psnr(x, y)), 0.0, atol=1e-4)
+
+
+def test_ssim_properties_and_reference_formula():
+    """SSIM: 1 on identical images, ordered by corruption level, and equal to
+    an independent numpy implementation of the Wang-2004 formula."""
+    import pytest
+
+    from video_filler_tpu.ops.losses import ssim
+
+    rs = np.random.RandomState(0)
+    x = rs.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1
+    xj = jnp.asarray(x)
+    assert float(ssim(xj, xj)) == pytest.approx(1.0, abs=1e-5)
+    small = float(ssim(jnp.asarray(x + 0.05 * rs.randn(*x.shape)
+                                   .astype(np.float32)), xj))
+    big = float(ssim(jnp.asarray(x + 0.3 * rs.randn(*x.shape)
+                                 .astype(np.float32)), xj))
+    assert 1.0 > small > big
+
+    # independent numpy reference (valid-window gaussian SSIM)
+    def np_ssim(a, b, L=2.0):
+        r = np.arange(11) - 5.0
+        g = np.exp(-0.5 * (r / 1.5) ** 2)
+        g /= g.sum()
+        w = np.outer(g, g)
+        c1, c2 = (0.01 * L) ** 2, (0.03 * L) ** 2
+        vals = []
+        for n in range(a.shape[0]):
+            for ch in range(a.shape[-1]):
+                A, B = a[n, :, :, ch], b[n, :, :, ch]
+                def blur(t):
+                    out = np.zeros((t.shape[0] - 10, t.shape[1] - 10))
+                    for i in range(out.shape[0]):
+                        for j in range(out.shape[1]):
+                            out[i, j] = (t[i:i + 11, j:j + 11] * w).sum()
+                    return out
+                mA, mB = blur(A), blur(B)
+                sA = blur(A * A) - mA * mA
+                sB = blur(B * B) - mB * mB
+                sAB = blur(A * B) - mA * mB
+                vals.append(((2 * mA * mB + c1) * (2 * sAB + c2)
+                             / ((mA * mA + mB * mB + c1) * (sA + sB + c2))))
+        return np.mean(vals)
+
+    y = x + 0.1 * rs.randn(*x.shape).astype(np.float32)
+    ours = float(ssim(jnp.asarray(y), xj))
+    ref = np_ssim(y.astype(np.float64), x.astype(np.float64))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4)

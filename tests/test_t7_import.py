@@ -519,3 +519,25 @@ def test_reader_int_long_double_storages(tmp_path):
     np.testing.assert_array_equal(obj["i"], [1, -2, 3])
     np.testing.assert_array_equal(obj["l"], [2**40, -5])
     np.testing.assert_array_equal(obj["d"], [1.5, -0.25])
+
+
+def test_load_generator_accepts_t7_directly(tmp_path):
+    """eval CLIs take net=....t7: load_generator routes through the importer
+    so a reference user's Torch7 checkpoint works unconverted."""
+    from video_filler_tpu.config import Opt
+    from video_filler_tpu.eval.common import load_generator
+
+    model, enc, mid, dec = _build_torch_netg(seed=7)
+    p = tmp_path / "ref_netg.t7"
+    p.write_bytes(_serialize_netg(enc, mid, dec))
+
+    opt = Opt(nef=4, ngf=4, nBottleneck=8, computeDtype="float32")
+    forward, params, bn = load_generator(opt, "center", str(p))
+    rs = np.random.RandomState(9)
+    x = rs.randn(2, 128, 128, 3).astype(np.float32)
+    y_ours = forward(params, bn, jnp.asarray(x))
+    with torch.no_grad():
+        y_ref = model(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(np.asarray(y_ours),
+                               y_ref.numpy().transpose(0, 2, 3, 1),
+                               rtol=1e-3, atol=1e-4)

@@ -126,6 +126,10 @@ class Opt:
     autoResume: bool = False         # resume from the latest checkpoint of
                                      # `name` if one exists (crash recovery;
                                      # supersedes loadName/loadIter when set)
+    haltOnNonFinite: bool = True     # stop with a clear error when a logged
+                                     # loss goes NaN/inf (the reference's
+                                     # runtrainvid.sh ledger records
+                                     # "!!Diverges:" by hand after the fact)
     logEvery: int = 1
     gdlTorchQuirk: bool = False      # reproduce reference GDL-backward-is-MSE bug
     usePallasLoss: bool = False      # Pallas fused weighted-MSE (see

@@ -14,11 +14,25 @@ def load_generator(opt: Opt, regime: str, net_path: str):
     (forward, params_g, state_g) with forward jitted in eval mode
     (net:evaluate() in every reference test script — BN uses running
     statistics).  Only the G leaves need to match: D/optimizer shapes in the
-    file are ignored (util.load-a-single-net semantics)."""
+    file are ignored (util.load-a-single-net semantics).
+
+    ``net=....t7`` loads a reference Torch7 netG checkpoint directly
+    (checkpoint/t7.py importer) — a reference user's published/trained nets
+    work in every eval CLI unconverted."""
     gen = build_for_regime(opt, regime)[0]
-    params_t, state_t = gen.init(jax.random.PRNGKey(0))
-    params = restore_subtree(net_path, params_t, ".params_g")
-    bn_state = restore_subtree(net_path, state_t, ".state_g")
+    if net_path.endswith(".t7"):
+        import jax.numpy as jnp
+
+        from video_filler_tpu.checkpoint.t7 import import_generator
+        from video_filler_tpu.models import specs_for_regime
+        gspec, _ = specs_for_regime(opt, regime)
+        p_np, s_np = import_generator(net_path, gspec)
+        params = jax.tree.map(jnp.asarray, p_np)
+        bn_state = jax.tree.map(jnp.asarray, s_np)
+    else:
+        params_t, state_t = gen.init(jax.random.PRNGKey(0))
+        params = restore_subtree(net_path, params_t, ".params_g")
+        bn_state = restore_subtree(net_path, state_t, ".state_g")
 
     @jax.jit
     def forward(params, bn_state, x):

@@ -52,7 +52,7 @@ def evaluate(opt: Opt, regime: str, n_batches: int = 8,
     rs = np.random.RandomState(seed)
     key = jax.random.PRNGKey(seed)
 
-    l2s, psnrs, hole_l2s = [], [], []
+    l2s, psnrs, hole_l2s, ssims = [], [], [], []
     for _ in range(n_batches):
         key, sub = jax.random.split(key)
         batch = preprocess(jax.tree.map(jnp.asarray, sampler(rs)), sub)
@@ -64,6 +64,11 @@ def evaluate(opt: Opt, regime: str, n_batches: int = 8,
             pred_full = pred
         l2s.append(float(losses.mse(pred_full, target)))
         psnrs.append(float(losses.psnr(pred_full, target)))
+        pf, tf = pred_full, target
+        if pf.ndim == 5:  # temporal clips: fold T into the batch for SSIM
+            pf = pf.reshape((-1,) + pf.shape[2:])
+            tf = tf.reshape((-1,) + tf.shape[2:])
+        ssims.append(float(losses.ssim(pf, tf)))
         if mask is not None:
             m = jnp.broadcast_to(mask.astype(bool), pred.shape)
             denom = jnp.maximum(jnp.sum(m), 1)
@@ -74,6 +79,7 @@ def evaluate(opt: Opt, regime: str, n_batches: int = 8,
     return {
         "l2": float(np.mean(l2s)),
         "psnr_db": float(np.mean(psnrs)),
+        "ssim": float(np.mean(ssims)),
         "hole_l2": float(np.mean(hole_l2s)),
         "n_batches": n_batches,
         "batchSize": opt.batchSize,
@@ -115,6 +121,7 @@ def write_report(path: str, regime: str, quality: dict, speed: dict) -> None:
         f"| full-frame L2 ([-1,1] space) | {quality['l2']:.5f} |",
         f"| hole-only L2 | {quality['hole_l2']:.5f} |",
         f"| PSNR | {quality['psnr_db']:.2f} dB |",
+        f"| SSIM | {quality['ssim']:.4f} |",
         f"| inference clips/s | {speed['clips_per_sec']:.1f} |",
         f"| inference frames/s | {speed['frames_per_sec']:.1f} |",
         f"| batch latency | {speed['batch_latency_ms']:.2f} ms |",

@@ -119,3 +119,41 @@ def psnr(pred: jax.Array, target: jax.Array, data_range: float = 2.0) -> jax.Arr
     """PSNR in dB; default range 2.0 for [-1,1] images."""
     err = jnp.mean(jnp.square(pred - target))
     return 10.0 * jnp.log10(data_range**2 / jnp.maximum(err, 1e-12))
+
+
+def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> jax.Array:
+    r = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+    g = jnp.exp(-0.5 * jnp.square(r / sigma))
+    g = g / jnp.sum(g)
+    return jnp.outer(g, g)
+
+
+def ssim(pred: jax.Array, target: jax.Array, data_range: float = 2.0,
+         size: int = 11, sigma: float = 1.5) -> jax.Array:
+    """Mean SSIM (Wang et al. 2004): 11x11 Gaussian window, K1/K2 defaults,
+    range 2.0 for [-1,1] images.  NHWC; channels treated independently
+    (depthwise window conv).  The reference publishes no SSIM (its QC is
+    visual, SURVEY §4) — this is part of the framework's quantitative story.
+    """
+    x = pred.astype(jnp.float32)
+    y = target.astype(jnp.float32)
+    c = x.shape[-1]
+    win = jnp.broadcast_to(_gaussian_kernel(size, sigma)[..., None, None],
+                           (size, size, 1, c))
+
+    def blur(t):
+        return jax.lax.conv_general_dilated(
+            t, win, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c)
+
+    mu_x, mu_y = blur(x), blur(y)
+    mu_x2, mu_y2, mu_xy = mu_x * mu_x, mu_y * mu_y, mu_x * mu_y
+    sig_x2 = blur(x * x) - mu_x2
+    sig_y2 = blur(y * y) - mu_y2
+    sig_xy = blur(x * y) - mu_xy
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    num = (2 * mu_xy + c1) * (2 * sig_xy + c2)
+    den = (mu_x2 + mu_y2 + c1) * (sig_x2 + sig_y2 + c2)
+    return jnp.mean(num / den)

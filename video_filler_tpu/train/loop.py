@@ -235,8 +235,22 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
     def _flush_log():
         nonlocal pending_log
         if pending_log is not None:
-            logger.log_step(*pending_log[:3],
-                            jax.device_get(pending_log[3]), *pending_log[4:])
+            metrics_host = jax.device_get(pending_log[3])
+            if opt.haltOnNonFinite:
+                bad = [k for k, v in metrics_host.items()
+                       if not np.isfinite(v)]
+                if bad:
+                    # Divergence detection: fail fast with a pointer to the
+                    # last good checkpoint instead of training on NaNs (the
+                    # reference's ledger records "!!Diverges:" by hand).
+                    epoch_, step_ = pending_log[0], pending_log[1]
+                    pending_log = None  # the finally-flush must not re-raise
+                    raise RuntimeError(
+                        f"non-finite loss {bad} at epoch {epoch_} step "
+                        f"{step_} — training diverged (resume from the last "
+                        f"checkpoint in {opt.checkpointDir!r} with a lower "
+                        f"lr, or set haltOnNonFinite=0 to push through)")
+            logger.log_step(*pending_log[:3], metrics_host, *pending_log[4:])
             pending_log = None
 
     try:
