@@ -170,3 +170,34 @@ def test_halt_on_nonfinite_loss(image_root, tmp_path, monkeypatch):
     state = train(opt.replace(haltOnNonFinite=False, name="nf_off"),
                   "center", quiet=True)
     assert int(state.step) == 3
+
+
+def test_dashboard_serves_metrics_and_grids(tmp_path, monkeypatch):
+    """displayServer parity (`display` rock): /, /metrics, /imgs, /img/<f>."""
+    import json as _json
+    import urllib.request
+
+    from video_filler_tpu.utils import Dashboard, save_png
+
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("logs"), os.makedirs("display")
+    with open("logs/dash.jsonl", "w") as f:
+        for i in range(5):
+            f.write(_json.dumps({"epoch": 1, "step": i, "errD": 1.0 - 0.1 * i,
+                                 "errG": 0.5, "errG_l2": 0.2}) + "\n")
+    save_png("display/dash_e1_s1_fake.png",
+             np.zeros((8, 8, 3), np.float32))
+    d = Dashboard("dash", port=0)  # ephemeral port
+    try:
+        base = f"http://localhost:{d.port}"
+        html = urllib.request.urlopen(f"{base}/").read().decode()
+        assert "dash" in html and "canvas" in html
+        ms = _json.loads(urllib.request.urlopen(
+            f"{base}/metrics?n=3").read())
+        assert len(ms) == 3 and ms[-1]["step"] == 4
+        imgs = _json.loads(urllib.request.urlopen(f"{base}/imgs").read())
+        assert imgs == ["dash_e1_s1_fake.png"]
+        png = urllib.request.urlopen(f"{base}/img/{imgs[0]}").read()
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    finally:
+        d.close()

@@ -57,8 +57,11 @@ class Opt:
     ntrain: float = math.inf
     display: bool = True
     display_iter: int = 50
-    display_id: int = 10       # accepted for reference-CLI compatibility;
-    display_port: int = 8000   # grids go to PNG files, not a display server
+    display_id: int = 10       # accepted for reference-CLI compatibility
+    display_port: int = 8000   # port for displayServer (display rock parity)
+    displayServer: bool = False  # serve live loss curves + grids over HTTP
+                                 # (utils/dashboard.py); PNG/JSONL dumps
+                                 # happen regardless
     name: str = "train1"
     manualSeed: int = 0
 

@@ -218,6 +218,14 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
     # Per-process JSONL under multi-host (same shared-FS file would garble).
     logger = MetricsLogger(opt.name if is_main else f"{opt.name}_p{proc}",
                            quiet=quiet)
+    dashboard = None
+    if opt.displayServer and is_main:
+        # Live HTTP view over the JSONL + PNG artifacts (the reference's
+        # `display` rock server, train.lua:427-445).
+        from video_filler_tpu.utils import Dashboard
+        dashboard = Dashboard(opt.name, port=opt.display_port)
+        if not quiet:
+            print(f"dashboard: http://localhost:{dashboard.port}/")
     ntrain = min(ds_size, opt.ntrain)
     steps_per_epoch = max(int(ntrain // opt.batchSize), 1)
     done = 0
@@ -311,6 +319,8 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
             jax.profiler.stop_trace()
         loader.close()
         logger.close()
+        if dashboard is not None:
+            dashboard.close()
     return state
 
 
