@@ -541,3 +541,58 @@ def test_load_generator_accepts_t7_directly(tmp_path):
     np.testing.assert_allclose(np.asarray(y_ours),
                                y_ref.numpy().transpose(0, 2, 3, 1),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_export_generator_roundtrip(tmp_path):
+    """t7 WRITER (util.save analogue): export our G as a reference-format
+    netG .t7, read it back with the reader, import, and match the original
+    forward exactly — two-way checkpoint exchange with Torch7."""
+    from video_filler_tpu.checkpoint.t7 import export_generator
+
+    spec = GeneratorSpec(nc_in=3, nc_out=3, nef=4, ngf=4, n_bottleneck=8,
+                         out_size=64, dtype="float32")
+    gen = build_generator(spec)
+    params, state = gen.init(jax.random.PRNGKey(3))
+    # make BN stats non-trivial so eval mode is a real test
+    state = jax.tree.map(
+        lambda x: x + 0.1 * jnp.arange(x.size, dtype=x.dtype) / x.size, state)
+
+    p = tmp_path / "exported.t7"
+    export_generator(params, state, spec, str(p))
+
+    obj = read_t7(str(p))
+    assert obj.torch_type == "nn.Sequential"
+    mods = flatten_modules(obj)
+    assert sum(m.torch_type == "nn.SpatialConvolution" for m in mods) == 6
+    assert sum(m.torch_type == "nn.SpatialFullConvolution" for m in mods) == 5
+    # conv hyperparams present (a real Torch7 nn needs them to :forward)
+    c0 = next(m for m in mods if m.torch_type == "nn.SpatialConvolution")
+    assert (c0["kW"], c0["dW"], c0["padW"]) == (4.0, 2.0, 1.0)
+
+    p2, s2 = import_generator(obj, spec)
+    rs = np.random.RandomState(4)
+    x = jnp.asarray(rs.randn(2, 128, 128, 3).astype(np.float32))
+    y0, _ = gen.apply(params, state, x, train=False)
+    y1, _ = gen.apply(jax.tree.map(jnp.asarray, p2),
+                      jax.tree.map(jnp.asarray, s2), x, train=False)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_export_generator_128(tmp_path):
+    from video_filler_tpu.checkpoint.t7 import export_generator
+
+    spec = GeneratorSpec(nc_in=6, nc_out=6, nef=4, ngf=4, n_bottleneck=8,
+                         out_size=128, dtype="float32")
+    gen = build_generator(spec)
+    params, state = gen.init(jax.random.PRNGKey(5))
+    p = tmp_path / "exp128.t7"
+    export_generator(params, state, spec, str(p))
+    p2, s2 = import_generator(read_t7(str(p)), spec)
+    x = jnp.asarray(np.random.RandomState(6)
+                    .randn(1, 128, 128, 6).astype(np.float32))
+    y0, _ = gen.apply(params, state, x, train=False)
+    y1, _ = gen.apply(jax.tree.map(jnp.asarray, p2),
+                      jax.tree.map(jnp.asarray, s2), x, train=False)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=1e-5, atol=1e-6)

@@ -306,3 +306,169 @@ def import_generator(path_or_obj, spec) -> tuple[dict, dict]:
     state = {"enc": enc_state, "bott_bn": bott_state["bott_bn"],
              "dec": dec_state}
     return params, state
+
+
+# ---------------------------------------------------------------------------
+# our parameter pytrees → Torch7 .t7 nn module tree (util.save analogue)
+# ---------------------------------------------------------------------------
+
+class _Writer:
+    """Torch7 binary serializer (the write half of the format above).
+
+    Emits module graphs a real Torch7 `torch.load` can consume (given the
+    `nn` package): class instances carry the field tables Torch7's modules
+    expect (weight/bias/grad buffers/flags), mirroring what the reference's
+    util.save leaves in a checkpoint (util.lua:72-97: float-cast, zeroed
+    grads, nn-only modules).
+    """
+
+    def __init__(self, f: BinaryIO):
+        self.f = f
+        self.next_idx = 1
+
+    def _i32(self, v: int) -> None:
+        self.f.write(struct.pack("<i", int(v)))
+
+    def _i64(self, v: int) -> None:
+        self.f.write(struct.pack("<q", int(v)))
+
+    def _raw_str(self, s: str) -> None:
+        b = s.encode("latin-1")
+        self._i32(len(b))
+        self.f.write(b)
+
+    def write(self, v) -> None:
+        if v is None:
+            self._i32(TYPE_NIL)
+        elif isinstance(v, bool):
+            self._i32(TYPE_BOOLEAN)
+            self._i32(1 if v else 0)
+        elif isinstance(v, (int, float)):
+            self._i32(TYPE_NUMBER)
+            self.f.write(struct.pack("<d", float(v)))
+        elif isinstance(v, str):
+            self._i32(TYPE_STRING)
+            self._raw_str(v)
+        elif isinstance(v, np.ndarray):
+            self._tensor(v)
+        elif isinstance(v, dict):
+            self._i32(TYPE_TABLE)
+            self._i32(self.next_idx)
+            self.next_idx += 1
+            self._i32(len(v))
+            for k, val in v.items():
+                self.write(k)
+                self.write(val)
+        elif isinstance(v, TorchObject):
+            self._i32(TYPE_TORCH)
+            self._i32(self.next_idx)
+            self.next_idx += 1
+            self._raw_str("V 1")
+            self._raw_str(v.torch_type)
+            self.write(v.fields)
+        else:
+            raise TypeError(f"cannot serialize {type(v)}")
+
+    def _tensor(self, arr: np.ndarray) -> None:
+        arr = np.ascontiguousarray(arr, np.float32)
+        self._i32(TYPE_TORCH)
+        self._i32(self.next_idx)
+        self.next_idx += 1
+        self._raw_str("V 1")
+        self._raw_str("torch.FloatTensor")
+        self._i32(arr.ndim)
+        for s in arr.shape:
+            self._i64(s)
+        stride = 1
+        strides = []
+        for s in reversed(arr.shape):
+            strides.append(stride)
+            stride *= s
+        for s in reversed(strides):
+            self._i64(s)
+        self._i64(1)  # storage offset, 1-based
+        self._i32(TYPE_TORCH)
+        self._i32(self.next_idx)
+        self.next_idx += 1
+        self._raw_str("V 1")
+        self._raw_str("torch.FloatStorage")
+        flat = arr.ravel()
+        self._i64(flat.size)
+        self.f.write(flat.tobytes())
+
+
+def _mod(cls: str, **fields) -> TorchObject:
+    base = {"train": False, "output": np.zeros((0,), np.float32),
+            "gradInput": np.zeros((0,), np.float32)}
+    base.update(fields)
+    return TorchObject(cls, base)
+
+
+def _seq_of(mods: list) -> TorchObject:
+    return _mod("nn.Sequential",
+                modules={float(i + 1): m for i, m in enumerate(mods)})
+
+
+def _export_conv(w_hwio: np.ndarray, transposed: bool, stride=2, pad=1
+                 ) -> TorchObject:
+    """(kH,kW,in,out) -> nn.Spatial(Full)Convolution with zero bias (the
+    reference zeroes conv biases every step, train.lua:279-280)."""
+    kh, kw, cin, cout = w_hwio.shape
+    if transposed:
+        w = w_hwio.transpose(2, 3, 0, 1)  # (in,out,kH,kW)
+        cls = "nn.SpatialFullConvolution"
+        extra = {"adjW": 0.0, "adjH": 0.0}
+        nbias = cout
+    else:
+        w = w_hwio.transpose(3, 2, 0, 1)  # (out,in,kH,kW)
+        cls = "nn.SpatialConvolution"
+        extra = {}
+        nbias = cout
+    w = np.ascontiguousarray(w, np.float32)
+    return _mod(cls, weight=w, bias=np.zeros((nbias,), np.float32),
+                gradWeight=np.zeros_like(w),
+                gradBias=np.zeros((nbias,), np.float32),
+                nInputPlane=float(cin), nOutputPlane=float(cout),
+                kW=float(kw), kH=float(kh), dW=float(stride),
+                dH=float(stride), padW=float(pad), padH=float(pad), **extra)
+
+
+def _export_bn(p: dict, s: dict) -> TorchObject:
+    g = np.asarray(p["gamma"], np.float32)
+    return _mod("nn.SpatialBatchNormalization",
+                weight=g, bias=np.asarray(p["beta"], np.float32),
+                gradWeight=np.zeros_like(g),
+                gradBias=np.zeros_like(g),
+                running_mean=np.asarray(s["mean"], np.float32),
+                running_var=np.asarray(s["var"], np.float32),
+                eps=1e-5, momentum=0.1, affine=True, nDim=4.0)
+
+
+def export_generator(params, state, spec, path: str) -> None:
+    """Write our generator pytree as a reference-format netG .t7
+    (encoder -> bott BN + LeakyReLU -> decoder, train.lua:87-148) — the
+    util.save analogue, so nets trained here load in actual Torch7 (or round
+    -trip through read_t7/import_generator)."""
+    lrelu = lambda: _mod("nn.LeakyReLU", negval=0.2, inplace=False)
+    relu = lambda: _mod("nn.ReLU", threshold=0.0, val=0.0, inplace=False)
+
+    enc_p, enc_s = params["enc"], state["enc"]
+    mods = [_export_conv(np.asarray(enc_p["conv0"]["w"]), False), lrelu()]
+    for i in range(1, 5):
+        mods += [_export_conv(np.asarray(enc_p[f"conv{i}"]["w"]), False),
+                 _export_bn(enc_p[f"bn{i}"], enc_s[f"bn{i}"]), lrelu()]
+    mods += [_export_conv(np.asarray(enc_p["conv5"]["w"]), False,
+                          stride=1, pad=0)]
+    mods += [_export_bn(params["bott_bn"], state["bott_bn"]), lrelu()]
+    dec_p, dec_s = params["dec"], state["dec"]
+    n_up = 5 if spec.out_size == 64 else 6
+    for i in range(n_up):
+        first = i == 0
+        mods += [_export_conv(np.asarray(dec_p[f"up{i}"]["w"]), True,
+                              stride=1 if first else 2, pad=0 if first else 1)]
+        if i < n_up - 1:
+            mods += [_export_bn(dec_p[f"bn{i}"], dec_s[f"bn{i}"]), relu()]
+    mods += [_mod("nn.Tanh")]
+    with open(path, "wb") as f:
+        _Writer(f).write(_seq_of(mods))
+
