@@ -104,3 +104,25 @@ def test_restore_subtree_g_only(tmp_path, rng):
     import pytest
     with pytest.raises((KeyError, ValueError)):
         restore_subtree(p, pt3, ".params_g")
+
+
+def test_bf16_adam_moments_checkpoint_roundtrip(tmp_path, rng):
+    """adamMomentsBf16 states must survive save/restore: np.savez degrades
+    raw bfloat16 to void('V2'), so the saver stores moments as f32 and
+    restore casts back — resume for the low-mem mode is exact."""
+    from video_filler_tpu.checkpoint import restore_checkpoint, save_checkpoint
+    from video_filler_tpu.config import Opt
+    from video_filler_tpu.train import init_train_state
+
+    opt = Opt(nef=8, ngf=8, ndf=8, nBottleneck=32, adamMomentsBf16=True,
+              computeDtype="float32")
+    state = init_train_state(rng, opt, "center")
+    assert any(l.dtype == jnp.bfloat16 for l in jax.tree.leaves(state.opt_g))
+    p = save_checkpoint(str(tmp_path), "bf16m", 1, state, meta={})
+    target = init_train_state(jax.random.PRNGKey(1), opt, "center")
+    restored, _ = restore_checkpoint(p, target)
+    for a, b in zip(jax.tree.leaves(restored.opt_g),
+                    jax.tree.leaves(state.opt_g)):
+        assert a.dtype == b.dtype
+        np.testing.assert_array_equal(np.asarray(a).astype(np.float32),
+                                      np.asarray(b).astype(np.float32))

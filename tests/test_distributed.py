@@ -59,8 +59,13 @@ def test_two_process_training_matches_single(tmp_path):
     worker = os.path.join(os.path.dirname(__file__), "_mh_worker.py")
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    # free coordinator port (a hardcoded one collides across concurrent runs)
+    import socket
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
     procs = [subprocess.Popen(
-        [sys.executable, worker, str(i), "12497", str(tmp_path / "data"),
+        [sys.executable, worker, str(i), str(port), str(tmp_path / "data"),
          str(tmp_path / f"out{i}.npz")],
         cwd=str(tmp_path), env=env,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)

@@ -28,7 +28,13 @@ def _flatten(tree: Any) -> dict[str, np.ndarray]:
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
         key = jax.tree_util.keystr(path)
-        flat[key] = np.asarray(leaf)
+        arr = np.asarray(leaf)
+        if arr.dtype.name == "bfloat16":
+            # np.savez degrades ml_dtypes.bfloat16 to raw void ('V2') which
+            # cannot be cast back on load; store as f32 (lossless superset) —
+            # restore casts to the target leaf's dtype.
+            arr = arr.astype(np.float32)
+        flat[key] = arr
     return flat
 
 
@@ -49,40 +55,9 @@ def save_checkpoint(ckpt_dir: str, name: str, epoch: int, train_state: Any,
     return path
 
 
-def restore_checkpoint(path: str, target: Any) -> tuple[Any, dict]:
-    """Restore into `target`'s structure; returns (state, meta).
-
-    Every leaf in `target` must exist in the file with a matching shape —
-    a shape/width mismatch (wrong config) fails loudly.
-    """
-    with np.load(path, allow_pickle=False) as data:
-        meta = json.loads(str(data["__meta__"]))
-        stored = {k: data[k] for k in data.files if k != "__meta__"}
-    paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(target)
-    leaves = []
-    for path_t, leaf in paths_leaves:
-        key = jax.tree_util.keystr(path_t)
-        if key not in stored:
-            raise KeyError(f"checkpoint missing leaf {key}")
-        arr = stored[key]
-        if tuple(arr.shape) != tuple(np.shape(leaf)):
-            raise ValueError(
-                f"shape mismatch for {key}: checkpoint {arr.shape} vs "
-                f"target {np.shape(leaf)}")
-        leaves.append(arr.astype(np.asarray(leaf).dtype))
-    return jax.tree_util.tree_unflatten(treedef, leaves), meta
-
-
-def restore_subtree(path: str, target: Any, prefix: str) -> Any:
-    """Restore only the leaves stored under `prefix` into `target`.
-
-    E.g. ``restore_subtree(p, params_g_like, ".params_g")`` imports JUST the
-    generator from any checkpoint whose G matches — the reference's
-    util.load-a-single-net semantics (netI loads, train_mycrit.lua:261-265) —
-    without requiring the discriminator/optimizer shapes to match (so a video
-    checkpoint works as ``initName`` across regime variants)."""
-    with np.load(path, allow_pickle=False) as data:
-        stored = {k: data[k] for k in data.files if k != "__meta__"}
+def _restore_into(stored: dict[str, np.ndarray], target: Any,
+                  prefix: str) -> Any:
+    """Shared load/validate/unflatten core of the two restore entry points."""
     paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(target)
     leaves = []
     for path_t, leaf in paths_leaves:
@@ -96,6 +71,31 @@ def restore_subtree(path: str, target: Any, prefix: str) -> Any:
                 f"target {np.shape(leaf)}")
         leaves.append(arr.astype(np.asarray(leaf).dtype))
     return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def restore_checkpoint(path: str, target: Any) -> tuple[Any, dict]:
+    """Restore into `target`'s structure; returns (state, meta).
+
+    Every leaf in `target` must exist in the file with a matching shape —
+    a shape/width mismatch (wrong config) fails loudly.
+    """
+    with np.load(path, allow_pickle=False) as data:
+        meta = json.loads(str(data["__meta__"]))
+        stored = {k: data[k] for k in data.files if k != "__meta__"}
+    return _restore_into(stored, target, ""), meta
+
+
+def restore_subtree(path: str, target: Any, prefix: str) -> Any:
+    """Restore only the leaves stored under `prefix` into `target`.
+
+    E.g. ``restore_subtree(p, params_g_like, ".params_g")`` imports JUST the
+    generator from any checkpoint whose G matches — the reference's
+    util.load-a-single-net semantics (netI loads, train_mycrit.lua:261-265) —
+    without requiring the discriminator/optimizer shapes to match (so a video
+    checkpoint works as ``initName`` across regime variants)."""
+    with np.load(path, allow_pickle=False) as data:
+        stored = {k: data[k] for k in data.files if k != "__meta__"}
+    return _restore_into(stored, target, prefix)
 
 
 def restore_latest(ckpt_dir: str, name: str, target: Any):

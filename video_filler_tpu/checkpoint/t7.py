@@ -449,6 +449,12 @@ def export_generator(params, state, spec, path: str) -> None:
     (encoder -> bott BN + LeakyReLU -> decoder, train.lua:87-148) — the
     util.save analogue, so nets trained here load in actual Torch7 (or round
     -trip through read_t7/import_generator)."""
+    if getattr(spec, "noise_gen", False):
+        # The plain Sequential below has no noise-join branch; exporting one
+        # would produce a net whose dec/up0 (in = nB+nz) cannot consume the
+        # nB-wide bottleneck — fail here, not at torch-side :forward.
+        raise ValueError("export_generator supports the plain (non-noiseGen) "
+                         "topology, matching import_generator")
     lrelu = lambda: _mod("nn.LeakyReLU", negval=0.2, inplace=False)
     relu = lambda: _mod("nn.ReLU", threshold=0.0, val=0.0, inplace=False)
 

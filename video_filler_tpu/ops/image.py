@@ -29,13 +29,16 @@ def denormalize_to_uint8(x: jax.Array) -> jax.Array:
 def random_crop(key: jax.Array, images: jax.Array, crop: int) -> jax.Array:
     """Per-sample random spatial crop (donkey_folder.lua:77-81).
 
-    images: (B, H, W, C) with H,W >= crop.  Offsets uniform over the full valid
-    range; per-sample dynamic_slice under vmap — static output shape.
+    images: (B, H, W, C) with H,W >= crop.  Offsets uniform over
+    0..H-crop-1 — the Lua range (`math.ceil(torch.uniform(1e-2, iH-oH))` is
+    1-based 1..iH-oH, so the extreme offset never occurs; same convention as
+    the host/native crop paths).  Per-sample dynamic_slice under vmap —
+    static output shape.
     """
     b, h, w, c = images.shape
     ky, kx = jax.random.split(key)
-    y0 = jax.random.randint(ky, (b,), 0, h - crop + 1)
-    x0 = jax.random.randint(kx, (b,), 0, w - crop + 1)
+    y0 = jax.random.randint(ky, (b,), 0, max(h - crop, 1))
+    x0 = jax.random.randint(kx, (b,), 0, max(w - crop, 1))
 
     def one(img, y, x):
         return jax.lax.dynamic_slice(img, (y, x, 0), (crop, crop, c))

@@ -128,6 +128,10 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
             raise SystemExit("seqParallel and modelParallel are exclusive")
         n_data = opt.dataParallel or \
             max(len(jax.devices()) // opt.seqParallel, 1)
+        if opt.batchSize % n_data:
+            raise SystemExit(
+                f"batchSize {opt.batchSize} must divide by the SP data axis "
+                f"{n_data} (set dataParallel to a divisor of the batch)")
         mesh = sp_mesh = temporal.make_seq_mesh(n_data=n_data,
                                                 n_seq=opt.seqParallel)
     else:

@@ -107,7 +107,9 @@ class Dashboard:
                 else:
                     self._send(404, "text/plain", b"not found")
 
-        self._srv = ThreadingHTTPServer(("", port), Handler)
+        # localhost-only: training metrics/grids must not be exposed to the
+        # network of a shared TPU-VM host (tunnel in for remote viewing).
+        self._srv = ThreadingHTTPServer(("localhost", port), Handler)
         self.port = self._srv.server_address[1]
         self._thread = threading.Thread(target=self._srv.serve_forever,
                                         daemon=True)
@@ -116,8 +118,18 @@ class Dashboard:
     def read_metrics(self, n: int) -> list[dict]:
         if not os.path.isfile(self.jsonl):
             return []
-        with open(self.jsonl) as f:
-            lines = f.readlines()[-n:]
+        # Tail-read: long runs grow the JSONL to tens of MB; polling must not
+        # re-read the whole file every few seconds on the training host.
+        with open(self.jsonl, "rb") as f:
+            f.seek(0, os.SEEK_END)
+            size = f.tell()
+            start = max(size - 256 * (n + 1), 0)
+            f.seek(start)
+            chunk = f.read().decode("utf-8", "replace")
+        lines = chunk.splitlines()
+        if start > 0 and lines:
+            lines = lines[1:]  # drop the partial first line of a mid-seek
+        lines = lines[-n:]
         out = []
         for ln in lines:
             try:
