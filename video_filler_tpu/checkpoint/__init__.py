@@ -4,4 +4,5 @@ from video_filler_tpu.checkpoint.ckpt import (  # noqa: F401
     restore_latest,
     restore_subtree,
     save_checkpoint,
+    wait_pending_saves,
 )

@@ -18,6 +18,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import threading
 from typing import Any
 
 import jax
@@ -43,16 +44,41 @@ def checkpoint_path(ckpt_dir: str, name: str, epoch: int) -> str:
 
 
 def save_checkpoint(ckpt_dir: str, name: str, epoch: int, train_state: Any,
-                    meta: dict | None = None) -> str:
-    """Atomic save (tmp + rename) of the full training pytree."""
+                    meta: dict | None = None,
+                    async_write: bool = False) -> str:
+    """Atomic save (tmp + rename) of the full training pytree.
+
+    ``async_write=True``: the device→host fetch still happens here (it must —
+    the loop donates the state buffers into the next step), but serialization
+    + disk write move to a background thread so training resumes immediately.
+    Call :func:`wait_pending_saves` before reading the file or exiting.
+    """
     os.makedirs(ckpt_dir, exist_ok=True)
     path = checkpoint_path(ckpt_dir, name, epoch)
     tmp = path + ".tmp"
     flat = _flatten(jax.device_get(train_state))
-    with open(tmp, "wb") as f:
-        np.savez(f, __meta__=json.dumps(meta or {}), **flat)
-    os.replace(tmp, path)
+
+    def write() -> None:
+        with open(tmp, "wb") as f:
+            np.savez(f, __meta__=json.dumps(meta or {}), **flat)
+        os.replace(tmp, path)
+
+    if async_write:
+        t = threading.Thread(target=write, daemon=False)
+        t.start()
+        _PENDING_SAVES.append(t)
+    else:
+        write()
     return path
+
+
+_PENDING_SAVES: list[threading.Thread] = []
+
+
+def wait_pending_saves(timeout: float | None = None) -> None:
+    """Block until all async checkpoint writes have hit disk."""
+    while _PENDING_SAVES:
+        _PENDING_SAVES.pop().join(timeout)
 
 
 def _restore_into(stored: dict[str, np.ndarray], target: Any,

@@ -309,10 +309,13 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
             logger.log_epoch(epoch, opt.niter,
                              time.perf_counter() - t_epoch)
             if epoch % opt.checkpointEvery == 0 and is_main:
+                # Serialization/disk write happens on a background thread;
+                # only the (mandatory, pre-donation) device fetch blocks.
                 p = save_checkpoint(opt.checkpointDir, opt.name, epoch,
                                     state, meta={"epoch": epoch,
                                                  "regime": regime,
-                                                 "seed": seed})
+                                                 "seed": seed},
+                                    async_write=True)
                 if not quiet:
                     print(f"checkpoint: {p}")
     except StopIteration:
@@ -325,6 +328,8 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
         logger.close()
         if dashboard is not None:
             dashboard.close()
+        from video_filler_tpu.checkpoint import wait_pending_saves
+        wait_pending_saves()
     return state
 
 
