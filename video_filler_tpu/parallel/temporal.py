@@ -103,15 +103,21 @@ def shard_clip(mesh: Mesh, x: jax.Array) -> jax.Array:
 # Layer-level SP convs (drop-ins for ops/layers3d with temporal k=3/s=1/p=1)
 # ---------------------------------------------------------------------------
 
-def _sp_init(kt, kh, kw, cin, cout, use_bias):
-    def init(key):
-        w = 0.02 * jax.random.normal(key, (kt, kh, kw, cin, cout),
-                                     dtype=jnp.float32)
-        p = {"w": w}
+def _sp_layer(mesh: Mesh, plain: Layer, kernel_fn, use_bias: bool) -> Layer:
+    """Package a per-shard conv kernel as a Layer: shard_map over
+    ('data','seq'), params/init shared with the equivalent plain layer (so
+    SP and non-SP builds have identical trees and init draws)."""
+    fn = jax.shard_map(kernel_fn, mesh=mesh,
+                       in_specs=(P(DATA_AXIS, SEQ_AXIS), P()),
+                       out_specs=P(DATA_AXIS, SEQ_AXIS))
+
+    def apply(params, state, x, *, train=False):
+        y = fn(x, params["w"])
         if use_bias:
-            p["b"] = jnp.zeros((cout,), jnp.float32)
-        return p, {}
-    return init
+            y = y + params["b"].astype(y.dtype)
+        return y, state
+
+    return Layer(plain.init, apply)
 
 
 def sp_conv3d(mesh: Mesh, cin: int, cout: int, kernel=(3, 4, 4),
@@ -125,10 +131,11 @@ def sp_conv3d(mesh: Mesh, cin: int, cout: int, kernel=(3, 4, 4),
     ppermute, so the weight gradient is psum'd over both mesh axes and the
     input cotangent flows back through the mirrored halo pattern.
     """
-    kt, kh, kw = kernel
+    from video_filler_tpu.ops.layers3d import conv3d
+
     _, sh, sw = stride
-    pt, ph, pw = padding
-    assert (kt, stride[0], pt) == (3, 1, 1), \
+    _, ph, pw = padding
+    assert (kernel[0], stride[0], padding[0]) == (3, 1, 1), \
         "sp_conv3d supports temporal kernel 3 / stride 1 / pad 1"
 
     def kernel_fn(x_local, w):
@@ -139,17 +146,8 @@ def sp_conv3d(mesh: Mesh, cin: int, cout: int, kernel=(3, 4, 4),
             padding=((0, 0), (ph, ph), (pw, pw)),
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
 
-    fn = jax.shard_map(kernel_fn, mesh=mesh,
-                       in_specs=(P(DATA_AXIS, SEQ_AXIS), P()),
-                       out_specs=P(DATA_AXIS, SEQ_AXIS))
-
-    def apply(params, state, x, *, train=False):
-        y = fn(x, params["w"])
-        if use_bias:
-            y = y + params["b"].astype(y.dtype)
-        return y, state
-
-    return Layer(_sp_init(kt, kh, kw, cin, cout, use_bias), apply)
+    plain = conv3d(cin, cout, kernel, stride, padding, use_bias, dtype)
+    return _sp_layer(mesh, plain, kernel_fn, use_bias)
 
 
 def sp_conv3d_transpose(mesh: Mesh, cin: int, cout: int, kernel=(3, 4, 4),
@@ -160,10 +158,12 @@ def sp_conv3d_transpose(mesh: Mesh, cin: int, cout: int, kernel=(3, 4, 4),
     Temporal k=3/s=1/p=1 transposed conv == regular conv with the reversed
     kernel and pad 1 — exactly one halo frame per side; spatial upsampling
     stays the input-dilated form.  out T == in T per shard (no reshard)."""
-    kt, kh, kw = kernel
+    from video_filler_tpu.ops.layers3d import conv3d_transpose
+
+    kh, kw = kernel[1], kernel[2]
     _, sh, sw = stride
-    pt, ph, pw = padding
-    assert (kt, stride[0], pt) == (3, 1, 1), \
+    _, ph, pw = padding
+    assert (kernel[0], stride[0], padding[0]) == (3, 1, 1), \
         "sp_conv3d_transpose supports temporal kernel 3 / stride 1 / pad 1"
 
     def kernel_fn(x_local, w):
@@ -176,17 +176,9 @@ def sp_conv3d_transpose(mesh: Mesh, cin: int, cout: int, kernel=(3, 4, 4),
             lhs_dilation=(1, sh, sw),
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
 
-    fn = jax.shard_map(kernel_fn, mesh=mesh,
-                       in_specs=(P(DATA_AXIS, SEQ_AXIS), P()),
-                       out_specs=P(DATA_AXIS, SEQ_AXIS))
-
-    def apply(params, state, x, *, train=False):
-        y = fn(x, params["w"])
-        if use_bias:
-            y = y + params["b"].astype(y.dtype)
-        return y, state
-
-    return Layer(_sp_init(kt, kh, kw, cin, cout, use_bias), apply)
+    plain = conv3d_transpose(cin, cout, kernel, stride, padding, use_bias,
+                             dtype)
+    return _sp_layer(mesh, plain, kernel_fn, use_bias)
 
 
 # ---------------------------------------------------------------------------

@@ -30,8 +30,11 @@ from video_filler_tpu.parallel import distributed
 from video_filler_tpu.checkpoint import (
     checkpoint_path,
     restore_checkpoint,
+    restore_subtree,
     save_checkpoint,
+    wait_pending_saves,
 )
+from video_filler_tpu.models import build_for_regime
 from video_filler_tpu.config import Opt, from_args
 from video_filler_tpu.data.pipeline import DataLoader, make_sampler
 from video_filler_tpu.ops import masks
@@ -175,9 +178,7 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
         # of G (train_mycrit.lua:261-265,402-405).  G-only import — the
         # checkpoint's D/optimizer shapes need not match this run's config
         # (util.load loads a single net, util.lua:99-105).
-        from video_filler_tpu.checkpoint import restore_subtree
-        from video_filler_tpu.models import build_for_regime as _bfr
-        g_target = _bfr(opt, regime)[0].init(jax.random.PRNGKey(0))
+        g_target = build_for_regime(opt, regime)[0].init(jax.random.PRNGKey(0))
         init_net = (restore_subtree(opt.initName, g_target[0], ".params_g"),
                     restore_subtree(opt.initName, g_target[1], ".state_g"))
 
@@ -201,7 +202,6 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
 
     # Preview pass for the display grids (the reference runs an extra batch
     # through G every display_iter steps, train.lua:427-445).
-    from video_filler_tpu.models import build_for_regime
     gen = build_for_regime(opt, regime)[0]
 
     @jax.jit
@@ -328,7 +328,6 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
         logger.close()
         if dashboard is not None:
             dashboard.close()
-        from video_filler_tpu.checkpoint import wait_pending_saves
         wait_pending_saves()
     return state
 

@@ -144,7 +144,8 @@ def make_train_step(opt: Opt, regime: str, with_init: bool = False,
     lam = float(opt.weight_nomask)
 
     if with_init:
-        # G topology for netI (inference-only; SP not needed)
+        # G topology for netI; under SP it shares the T-sharded convs so the
+        # cascade stays on the same mesh layout.
         init_gen = build_for_regime(opt, regime, sp_mesh=sp_mesh)[0]
 
     def _prepare(batch, key):
