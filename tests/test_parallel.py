@@ -104,11 +104,19 @@ def test_make_mesh_rejects_bad_shapes():
 
 def test_tp_rules_fail_loudly_on_rename(rng):
     """A param tree whose names don't match the TP rules must raise instead
-    of silently training replicated on a model>1 mesh."""
+    of silently training replicated on a model>1 mesh — including a PARTIAL
+    rename, where some rules still match (VERDICT r1 weak #5)."""
     import pytest
 
     mesh = parallel.make_mesh(n_data=4, n_model=2)
     fake_state = {"params_g": {"encoder_renamed": {"conv_five": {"w":
                   jnp.zeros((4, 4, 8, 64))}}}}
-    with pytest.raises(ValueError, match="no parameter matched"):
+    with pytest.raises(ValueError, match="matched no parameter"):
         parallel.state_shardings(mesh, fake_state)
+
+    partial = {"params_g": {
+        "enc": {"conv_five": {"w": jnp.zeros((4, 4, 8, 64))}},
+        "bott_bn": {"gamma": jnp.zeros(64)},
+        "dec": {"up0": {"w": jnp.zeros((4, 4, 64, 64))}}}}
+    with pytest.raises(ValueError, match=r"enc/conv5/w"):
+        parallel.state_shardings(mesh, partial)

@@ -43,5 +43,10 @@ def main(argv: list[str]) -> None:
     print(f"wrote {out} (regime={regime}, from {opt.net})")
 
 
+def cli() -> None:
+    """Console-script entry point (`vf-export-t7`, pyproject.toml)."""
+    main(sys.argv[1:])
+
+
 if __name__ == "__main__":
     main(sys.argv[1:])

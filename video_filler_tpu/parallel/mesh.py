@@ -78,8 +78,8 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
-def _param_spec(path: tuple, leaf, tp: bool) -> P:
-    """TP rules keyed on the param-tree path.
+def _param_spec(path: tuple, leaf, tp: bool) -> tuple[P, str | None]:
+    """TP rules keyed on the param-tree path; returns (spec, rule_name).
 
     Generator bottleneck (models/context_encoder.py):
       enc/conv5/w   (4,4,8nef,nB)  -> shard nB (out channels)
@@ -88,16 +88,19 @@ def _param_spec(path: tuple, leaf, tp: bool) -> P:
     Everything else replicated.
     """
     if not tp:
-        return P()
+        return P(), None
     keys = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
     joined = "/".join(str(k) for k in keys)
     if joined.endswith("enc/conv5/w"):
-        return P(None, None, None, MODEL_AXIS)
+        return P(None, None, None, MODEL_AXIS), "enc/conv5/w"
     if "bott_bn" in joined and keys[-1] in ("gamma", "beta", "mean", "var"):
-        return P(MODEL_AXIS)
+        return P(MODEL_AXIS), "bott_bn"
     if joined.endswith("dec/up0/w"):
-        return P(None, None, MODEL_AXIS, None)
-    return P()
+        return P(None, None, MODEL_AXIS, None), "dec/up0/w"
+    return P(), None
+
+
+_TP_RULES = ("enc/conv5/w", "bott_bn", "dec/up0/w")
 
 
 def state_shardings(mesh: Mesh, train_state: Any) -> Any:
@@ -108,23 +111,23 @@ def state_shardings(mesh: Mesh, train_state: Any) -> Any:
     step is replicated.
     """
     tp = mesh.shape[MODEL_AXIS] > 1
-    matched = 0
+    matched: set[str] = set()
 
     def spec_of(path, leaf):
-        nonlocal matched
-        spec = _param_spec(path, leaf, tp)
-        if spec != P():
-            matched += 1
+        spec, rule = _param_spec(path, leaf, tp)
+        if rule is not None:
+            matched.add(rule)
         return NamedSharding(mesh, spec)
 
     out = jax.tree_util.tree_map_with_path(spec_of, train_state)
-    if tp and matched == 0:
+    missing = [r for r in _TP_RULES if r not in matched]
+    if tp and missing:
         # The TP rules key on param-tree path names; a rename must fail loudly
-        # rather than silently training fully replicated on a model>1 mesh.
+        # rather than silently training (partly) replicated on a model>1 mesh.
         raise ValueError(
-            "TP requested (model axis > 1) but no parameter matched the "
-            "bottleneck sharding rules — have layer names changed? "
-            "(see _param_spec)")
+            "TP requested (model axis > 1) but these bottleneck sharding "
+            f"rules matched no parameter: {missing} — have layer names "
+            "changed? (see _param_spec)")
     return out
 
 

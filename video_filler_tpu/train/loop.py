@@ -348,5 +348,10 @@ def main(argv: list[str]) -> None:
     train(opt, regime)
 
 
+def cli() -> None:
+    """Console-script entry point (`vf-train`, pyproject.toml)."""
+    main(sys.argv[1:])
+
+
 if __name__ == "__main__":
     main(sys.argv[1:])
