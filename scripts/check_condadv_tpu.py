@@ -33,9 +33,10 @@ def run_step():
     import jax.numpy as jnp
     import numpy as np
 
-    jax.config.update("jax_compilation_cache_dir", os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".jax_cache"))
+    from video_filler_tpu.utils import host_keyed_cache_dir
+    jax.config.update("jax_compilation_cache_dir", host_keyed_cache_dir(
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache")))
     import video_filler_tpu.train.step as S
     from video_filler_tpu.config import Opt
 

@@ -126,3 +126,33 @@ def test_bf16_adam_moments_checkpoint_roundtrip(tmp_path, rng):
         assert a.dtype == b.dtype
         np.testing.assert_array_equal(np.asarray(a).astype(np.float32),
                                       np.asarray(b).astype(np.float32))
+
+
+def test_async_write_failure_surfaces(tmp_path, rng, monkeypatch):
+    """A failed background write must raise (at the next save or at
+    wait_pending_saves) instead of silently dropping the checkpoint while
+    the loop keeps logging 'checkpoint: <path>'."""
+    from video_filler_tpu.checkpoint import ckpt, wait_pending_saves
+
+    opt = Opt(**TINY)
+    state = init_train_state(rng, opt, "center")
+
+    def boom(*a, **kw):
+        raise OSError(28, "No space left on device")
+
+    monkeypatch.setattr(ckpt.np, "savez", boom)
+    save_checkpoint(str(tmp_path), "x", 1, state, async_write=True)
+    with pytest.raises(RuntimeError, match="NOT saved"):
+        wait_pending_saves()
+    # the error queue is drained: a subsequent healthy wait is clean
+    wait_pending_saves()
+
+    monkeypatch.undo()
+    # a pending error also surfaces at the NEXT async save call
+    monkeypatch.setattr(ckpt.np, "savez", boom)
+    save_checkpoint(str(tmp_path), "x", 2, state, async_write=True)
+    ckpt._PENDING_SAVES[-1].join()
+    monkeypatch.undo()
+    with pytest.raises(RuntimeError, match="NOT saved"):
+        save_checkpoint(str(tmp_path), "x", 3, state, async_write=True)
+    wait_pending_saves()

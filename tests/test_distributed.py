@@ -99,3 +99,41 @@ def test_two_process_training_matches_single(tmp_path):
     flat_ref = np.concatenate([np.asarray(x).ravel()
                                for x in jax.tree.leaves(s_ref.params_g)])
     np.testing.assert_allclose(flat_ref, d0["params_g"], atol=8.1e-3)
+
+
+def test_two_process_resume_desync_aborts_both(tmp_path):
+    """autoResume with a checkpoint visible to only one host (checkpointDir
+    not a shared FS) must abort BOTH processes with a clear collective error
+    instead of silently desyncing the SPMD programs."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    from video_filler_tpu.data.synthetic import _texture
+    from video_filler_tpu.utils.io import save_png
+
+    img_dir = tmp_path / "data" / "images"
+    img_dir.mkdir(parents=True)
+    img = _texture(np.random.RandomState(0), 128, 128)
+    for i in range(8):
+        save_png(str(img_dir / f"im_{i:04d}.png"), img)
+    for i in range(2):
+        (tmp_path / f"p{i}").mkdir()  # per-process cwd = per-process ckpt dir
+
+    worker = os.path.join(os.path.dirname(__file__), "_mh_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(i), str(port), str(tmp_path / "data"),
+         "unused", "desync"],
+        cwd=str(tmp_path / f"p{i}"), env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed unexpectedly:\n{o[-3000:]}"
+        assert "desync detected as expected" in o

@@ -201,3 +201,25 @@ def test_dashboard_serves_metrics_and_grids(tmp_path, monkeypatch):
         assert png[:8] == b"\x89PNG\r\n\x1a\n"
     finally:
         d.close()
+
+
+def test_dashboard_tail_read_long_lines(tmp_path, monkeypatch):
+    """Tail-seek must return the requested n records even when JSONL lines
+    far exceed the initial window's per-line byte estimate."""
+    import json as _json
+
+    from video_filler_tpu.utils import Dashboard
+
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("logs")
+    pad = "x" * 700  # ~720-byte lines vs the 256-byte seek estimate
+    with open("logs/longdash.jsonl", "w") as f:
+        for i in range(450):
+            f.write(_json.dumps({"step": i, "errD": 1.0, "note": pad}) + "\n")
+    d = Dashboard("longdash", port=0)
+    try:
+        ms = d.read_metrics(400)
+        assert len(ms) == 400 and ms[0]["step"] == 50 and ms[-1]["step"] == 449
+        assert d.read_metrics(1000) and len(d.read_metrics(1000)) == 450
+    finally:
+        d.close()

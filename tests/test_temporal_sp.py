@@ -147,3 +147,47 @@ def test_sp_activations_are_time_sharded(rng):
     shard = y.sharding.shard_shape(y.shape)
     assert shard[0] == batch["real"].shape[0] // 2
     assert shard[1] == batch["real"].shape[1] // 2
+
+
+def test_sp_host_batch_layout_matches_plain(rng):
+    """The loop feeds the SP step uint8 host batches laid out by
+    shard_sp_host_batch (folded channels T-major-sharded over 'seq') — the
+    fused preprocess+step must produce the same metrics as plain device_put,
+    and the folded-axis shards must hold whole frames."""
+    from video_filler_tpu.train.step import make_preprocess
+
+    opt = Opt(nef=8, ngf=8, ndf=8, nBottleneck=64, predLen=4, batchSize=4,
+              fineSize=32, video3dLevels=3, wtl2=0.999, weight_nomask=0.05,
+              computeDtype="float32")
+    mesh = temporal.make_seq_mesh(n_data=2, n_seq=2)
+    state = init_train_state(rng, opt, "video3d")
+    preprocess = make_preprocess(opt, "video3d")
+    inner = make_train_step(opt, "video3d", sp_mesh=mesh)
+
+    def fused(state, host_batch, key):
+        k1, k2 = jax.random.split(key)
+        return inner(state, preprocess(host_batch, k1), k2)
+
+    rs = np.random.RandomState(3)
+    host = {
+        "raw": rs.randint(0, 256, (4, 32, 32, 3 * opt.predLen), np.uint8),
+        "mask": np.zeros((4, 32, 32, 1), np.uint8),
+    }
+    host["mask"][:, 8:20, 8:20] = 1
+    key = jax.random.PRNGKey(11)
+    step = jax.jit(fused)
+
+    sp_state = temporal.shard_sp_state(mesh, state)
+    dev = temporal.shard_sp_host_batch(mesh,
+                                       {k: jnp.asarray(v)
+                                        for k, v in host.items()})
+    # each seq shard of the folded axis holds whole frames
+    shard = dev["raw"].sharding.shard_shape(dev["raw"].shape)
+    assert shard[-1] == 3 * opt.predLen // 2 and shard[-1] % 3 == 0
+    _, m_sp = step(sp_state, dev, key)
+
+    plain = {k: jnp.asarray(v) for k, v in host.items()}
+    _, m_ref = step(temporal.shard_sp_state(mesh, state), plain, key)
+    for k in m_ref:
+        np.testing.assert_allclose(float(m_ref[k]), float(m_sp[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)

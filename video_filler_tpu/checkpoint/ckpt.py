@@ -64,7 +64,16 @@ def save_checkpoint(ckpt_dir: str, name: str, epoch: int, train_state: Any,
         os.replace(tmp, path)
 
     if async_write:
-        t = threading.Thread(target=write, daemon=False)
+        _raise_pending_error()  # surface an earlier failed write NOW, not
+        # after N more epochs of "checkpoint: ..." lines over a dead path
+
+        def guarded() -> None:
+            try:
+                write()
+            except BaseException as e:  # noqa: BLE001 — report in the caller
+                _SAVE_ERRORS.append((path, e))
+
+        t = threading.Thread(target=guarded, daemon=False)
         t.start()
         _PENDING_SAVES.append(t)
     else:
@@ -73,12 +82,33 @@ def save_checkpoint(ckpt_dir: str, name: str, epoch: int, train_state: Any,
 
 
 _PENDING_SAVES: list[threading.Thread] = []
+_SAVE_ERRORS: list[tuple[str, BaseException]] = []
+
+
+def _raise_pending_error() -> None:
+    if _SAVE_ERRORS:
+        path, err = _SAVE_ERRORS[0]
+        _SAVE_ERRORS.clear()
+        raise RuntimeError(
+            f"async checkpoint write failed for {path!r} — the file was NOT "
+            "saved (disk full / permissions?)") from err
 
 
 def wait_pending_saves(timeout: float | None = None) -> None:
-    """Block until all async checkpoint writes have hit disk."""
+    """Block until all async checkpoint writes have hit disk.
+
+    Raises if any background write failed (a silently-dropped checkpoint
+    would leave autoResume with nothing despite the log claiming saves).
+    A thread still alive after `timeout` stays tracked for the next call.
+    """
+    still_running = []
     while _PENDING_SAVES:
-        _PENDING_SAVES.pop().join(timeout)
+        t = _PENDING_SAVES.pop()
+        t.join(timeout)
+        if t.is_alive():
+            still_running.append(t)
+    _PENDING_SAVES.extend(still_running)
+    _raise_pending_error()
 
 
 def _restore_into(stored: dict[str, np.ndarray], target: Any,

@@ -216,3 +216,29 @@ def shard_sp_batch(mesh: Mesh, batch):
                                                            SEQ_AXIS)))
         return jax.device_put(x, NamedSharding(mesh, P(DATA_AXIS)))
     return {k: put(k, v) for k, v in batch.items()}
+
+
+def shard_sp_host_batch(mesh: Mesh, batch):
+    """Device_put the loader's uint8 video batch for the SP train step.
+
+    The folded channel axis of ``raw`` (B, H, W, nc*T) is T-major (frame t
+    owns channels [t*nc, (t+1)*nc) — pipeline.video_sampler), so sharding it
+    over 'seq' places each device's own frames locally: the in-jit
+    ``unfold_time`` reshape then yields the (data, seq)-sharded clip without
+    replicating every row to all seq devices first (over a remote-TPU link
+    that replication multiplies the host->device transfer by n_seq)."""
+    raw = batch["raw"]
+    n_seq = mesh.shape[SEQ_AXIS]
+    assert raw.shape[-1] % n_seq == 0, (
+        f"folded channels {raw.shape[-1]} must divide the seq axis {n_seq}")
+
+    def put(k, x):
+        if k == "raw":
+            spec = P(DATA_AXIS, None, None, SEQ_AXIS)
+        elif x.ndim >= 1 and x.shape[0] == raw.shape[0]:
+            spec = P(DATA_AXIS)          # batched mask
+        else:
+            spec = P()                   # unbatched (shared) mask
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return {k: put(k, v) for k, v in batch.items()}

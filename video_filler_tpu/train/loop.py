@@ -148,6 +148,7 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
     state = init_train_state(k_init, opt, regime)
 
     start_epoch = 1
+    resume_miss = False
     if opt.autoResume:
         # Failure recovery: restart from wherever the last run checkpointed
         # (the reference's only recovery story is manual loadName/loadIter,
@@ -161,10 +162,32 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
                 print(f"auto-resumed {opt.name} at epoch {epoch}")
     elif opt.loadName and opt.loadIter:
         path = checkpoint_path(opt.checkpointDir, opt.loadName, opt.loadIter)
-        state, _ = restore_checkpoint(path, state)
-        start_epoch = opt.loadIter + 1
-        if not quiet:
-            print(f"Resumed {path} at epoch {opt.loadIter}")
+        try:
+            state, _ = restore_checkpoint(path, state)
+        except FileNotFoundError:
+            if n_proc == 1:
+                raise
+            resume_miss = True  # report collectively below, not one-sided
+        else:
+            start_epoch = opt.loadIter + 1
+            if not quiet:
+                print(f"Resumed {path} at epoch {opt.loadIter}")
+    if n_proc > 1 and (opt.autoResume or (opt.loadName and opt.loadIter)):
+        # Checkpoints are written by host 0 only; every process restores from
+        # its local view of checkpointDir.  If the dir is not one shared
+        # filesystem the hosts resume from different epochs (or fresh init)
+        # and the SPMD programs desync — fail together, with the evidence.
+        from jax.experimental import multihost_utils
+        import jax.numpy as jnp
+        epochs = multihost_utils.process_allgather(
+            jnp.int32(-1 if resume_miss else start_epoch))
+        lo, hi = int(np.min(epochs)), int(np.max(epochs))
+        if lo != hi or resume_miss:
+            raise SystemExit(
+                f"multi-host resume desync: per-process resume epochs "
+                f"{[int(e) for e in np.asarray(epochs)]} (-1 = checkpoint "
+                f"missing) — checkpointDir {opt.checkpointDir!r} must be a "
+                "shared filesystem visible to every process")
     if sp_mesh is not None:
         from video_filler_tpu.parallel import temporal
         state = temporal.shard_sp_state(sp_mesh, state)
@@ -281,11 +304,18 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
                 t0 = time.perf_counter()
                 host_batch = loader.get_batch()
                 t_data = time.perf_counter() - t0
-                # Single process: plain device_put with the data sharding.
-                # Multi-host: each host contributes only its local rows
+                # Single process: plain device_put with the data sharding
+                # (SP: frames land on their own seq devices — see
+                # temporal.shard_sp_host_batch).  Multi-host: each host
+                # contributes only its local rows
                 # (jax.make_array_from_process_local_data).
-                dev_batch = distributed.global_batch_from_local(mesh,
-                                                                host_batch)
+                if sp_mesh is not None and n_proc == 1:
+                    from video_filler_tpu.parallel import temporal
+                    dev_batch = temporal.shard_sp_host_batch(sp_mesh,
+                                                             host_batch)
+                else:
+                    dev_batch = distributed.global_batch_from_local(
+                        mesh, host_batch)
                 step_seed = np.int64(seed * 1_000_003 + done) % np.int64(2**31)
                 args = (state, dev_batch, np.int32(step_seed)) \
                     + ((init_net,) if with_init else ())
@@ -321,7 +351,15 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
     except StopIteration:
         pass
     finally:
-        _flush_log()
+        propagating = sys.exc_info()[0] is not None
+        try:
+            _flush_log()
+        except Exception:
+            # A flush failure (divergence detection, a device_get on a dead
+            # tunnel) must not REPLACE an exception already propagating out
+            # of the loop — that would hide the real cause of the abort.
+            if not propagating:
+                raise
         if prof_started and not prof_done:
             jax.profiler.stop_trace()
         loader.close()

@@ -120,15 +120,22 @@ class Dashboard:
             return []
         # Tail-read: long runs grow the JSONL to tens of MB; polling must not
         # re-read the whole file every few seconds on the training host.
+        # Lines have no fixed width (regimes log different metric sets), so
+        # grow the window until it spans n complete lines or the whole file.
         with open(self.jsonl, "rb") as f:
             f.seek(0, os.SEEK_END)
             size = f.tell()
-            start = max(size - 256 * (n + 1), 0)
-            f.seek(start)
-            chunk = f.read().decode("utf-8", "replace")
-        lines = chunk.splitlines()
-        if start > 0 and lines:
-            lines = lines[1:]  # drop the partial first line of a mid-seek
+            window = 256 * (n + 1)
+            while True:
+                start = max(size - window, 0)
+                f.seek(start)
+                chunk = f.read().decode("utf-8", "replace")
+                lines = chunk.splitlines()
+                if start > 0 and lines:
+                    lines = lines[1:]  # drop the partial line of a mid-seek
+                if start == 0 or len(lines) > n:
+                    break
+                window *= 4
         lines = lines[-n:]
         out = []
         for ln in lines:
