@@ -276,3 +276,48 @@ def test_adam_moments_bf16_flag_trains():
                         for x in jax.tree.leaves(s2.params_g)])
     assert np.abs(a - b).max() < 2.1 * 10 * opt.lr
     assert np.percentile(np.abs(a - b), 50) < 1e-4
+
+
+def test_grad_accum_matches_single_micro_step(rng):
+    """gradAccum=k scans k microbatches and Adam-steps once on the averaged
+    gradients.  With a batch made of k IDENTICAL microbatches, every
+    microbatch pass sees the same data, so the averaged gradients equal the
+    single-microbatch gradients — post-Adam params must match a gradAccum=1
+    step on one microbatch (BN running stats chain k times and differ)."""
+    micro = _center_batch(b=2)
+    tiled = {"real": jnp.concatenate([micro["real"]] * 3, axis=0)}
+    common = dict(TINY, wtl2=0.999, overlapPred=4)
+    key = jax.random.PRNGKey(5)
+
+    opt_acc = Opt(**dict(common, batchSize=6, gradAccum=3))
+    state0 = init_train_state(rng, opt_acc, "center")
+    s_acc, m_acc = jax.jit(make_train_step(opt_acc, "center"))(
+        state0, tiled, key)
+
+    opt_one = Opt(**dict(common, batchSize=2))
+    s_one, m_one = jax.jit(make_train_step(opt_one, "center"))(
+        state0, micro, key)
+
+    assert int(s_acc.step) == 1
+    for k in m_one:
+        np.testing.assert_allclose(float(m_acc[k]), float(m_one[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+    for a, b in zip(jax.tree.leaves(s_acc.params_g),
+                    jax.tree.leaves(s_one.params_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=4.1e-3)
+    for a, b in zip(jax.tree.leaves(s_acc.params_d),
+                    jax.tree.leaves(s_one.params_d)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=4.1e-3)
+
+
+def test_grad_accum_video_regime_runs(rng):
+    """Accumulation also covers the masked regimes (mask + per-pixel l2
+    weights split with the batch; scalars shared)."""
+    opt = Opt(predLen=2, wtl2=0.999, weight_nomask=0.05, gradAccum=2,
+              **TINY)
+    state = init_train_state(rng, opt, "video")
+    step = jax.jit(make_train_step(opt, "video"))
+    new_state, metrics = step(state, _video_batch(b=4), jax.random.PRNGKey(2))
+    assert int(new_state.step) == 1
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k

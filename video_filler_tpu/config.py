@@ -124,6 +124,13 @@ class Opt:
                                      # halo-exchange temporal convs
                                      # (parallel/temporal.py); predLen must
                                      # divide by it
+    gradAccum: int = 1               # microbatch count: the step splits the
+                                     # batch, lax.scans the forward+backward
+                                     # over the chunks (BN state chained,
+                                     # batch stats per chunk) and applies the
+                                     # two Adam updates once on the averaged
+                                     # gradients — a batch-512-effective run
+                                     # on small-HBM devices
     checkpointEvery: int = 20        # epochs (train.lua:460; wholeim uses 2)
     checkpointDir: str = "checkpoints"
     autoResume: bool = False         # resume from the latest checkpoint of

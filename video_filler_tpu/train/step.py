@@ -43,6 +43,10 @@ from video_filler_tpu.ops import losses, masks
 from video_filler_tpu.ops.layers3d import unfold_time
 
 
+_METRIC_KEYS = ("errD", "errD_real", "errD_fake", "errG", "errG_l2",
+                "errG_gdl", "errG_total")
+
+
 class TrainState(NamedTuple):
     params_g: Any
     params_d: Any
@@ -194,10 +198,13 @@ def make_train_step(opt: Opt, regime: str, with_init: bool = False,
             ctx = masks.fill_in(ctx, mask, fake_init)
 
         noise = _draw_noise(k_noise, opt, ctx.shape[0]) if opt.noiseGen else None
-        g_in = (ctx, noise) if opt.noiseGen else ctx
 
-        def loss_fn(params_g, params_d):
-            fake, new_state_g = gen.apply(params_g, state.state_g, g_in,
+        def loss_fn(params_g, params_d, state_g, state_d, prep):
+            ctx, d_real, target, l2_w, mask, noise = (
+                prep["ctx"], prep["d_real"], prep["target"], prep["l2_w"],
+                prep.get("mask"), prep.get("noise"))
+            g_in = (ctx, noise) if opt.noiseGen else ctx
+            fake, new_state_g = gen.apply(params_g, state_g, g_in,
                                           train=True)
             # Hard composite — only masked pixels come from G, so gradients
             # flow only through the hole.  vid_weighted composites at
@@ -216,7 +223,7 @@ def make_train_step(opt: Opt, regime: str, with_init: bool = False,
             # --- D loss: real pass then fake pass, BN stats updated in order
             # (train.lua:299-345). stop_gradient(fake): D's update must not
             # backprop into G.
-            logit_real, sd1 = disc.apply(params_d, state.state_d,
+            logit_real, sd1 = disc.apply(params_d, state_d,
                                          d_in(d_real), train=True)
             logit_fake, new_state_d = disc.apply(
                 params_d, sd1, d_in(jax.lax.stop_gradient(d_fake)), train=True)
@@ -272,19 +279,64 @@ def make_train_step(opt: Opt, regime: str, with_init: bool = False,
             # params_g (D params stopped) — one backward yields both gradients.
             return loss_g + loss_d, aux
 
-        (_, aux), (grad_g, grad_d) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True)(state.params_g, state.params_d)
+        prep = {"ctx": ctx, "d_real": d_real, "target": target, "l2_w": l2_w}
+        if mask is not None:
+            prep["mask"] = mask
+        if noise is not None:
+            prep["noise"] = noise
+        grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+        n_micro = int(opt.gradAccum)
+
+        if n_micro <= 1:
+            (_, aux), (grad_g, grad_d) = grad_fn(
+                state.params_g, state.params_d, state.state_g, state.state_d,
+                prep)
+            new_state_g, new_state_d = aux["new_state_g"], aux["new_state_d"]
+            metrics = {k: aux[k] for k in _METRIC_KEYS}
+        else:
+            # Gradient accumulation: lax.scan the forward+backward over
+            # gradAccum microbatches (BN running stats chain through the
+            # carry; batch statistics are per-microbatch — standard
+            # accumulation semantics), then one Adam update per net on the
+            # averaged gradients.  Peak activation memory drops ~n_micro x;
+            # the optimizer/weight traffic stays once per step.
+            b = ctx.shape[0]
+            if b % n_micro != 0:
+                raise ValueError(
+                    f"batchSize {b} must divide by gradAccum {n_micro}")
+            dyn = {k2: v for k2, v in prep.items()
+                   if getattr(v, "ndim", 0) > 0 and v.shape[0] == b}
+            static = {k2: v for k2, v in prep.items() if k2 not in dyn}
+            xs = {k2: v.reshape((n_micro, b // n_micro) + v.shape[1:])
+                  for k2, v in dyn.items()}
+
+            def body(carry, mb):
+                sg, sd, acc_g, acc_d, acc_m = carry
+                (_, aux), (gg, gd) = grad_fn(state.params_g, state.params_d,
+                                             sg, sd, {**static, **mb})
+                return ((aux["new_state_g"], aux["new_state_d"],
+                         jax.tree.map(jnp.add, acc_g, gg),
+                         jax.tree.map(jnp.add, acc_d, gd),
+                         {k2: acc_m[k2] + aux[k2] for k2 in acc_m}), None)
+
+            carry0 = (state.state_g, state.state_d,
+                      jax.tree.map(jnp.zeros_like, state.params_g),
+                      jax.tree.map(jnp.zeros_like, state.params_d),
+                      {k2: jnp.float32(0.0) for k2 in _METRIC_KEYS})
+            (new_state_g, new_state_d, sum_g, sum_d, sum_m), _ = \
+                jax.lax.scan(body, carry0, xs)
+            inv = 1.0 / n_micro
+            grad_g = jax.tree.map(lambda g: g * inv, sum_g)
+            grad_d = jax.tree.map(lambda g: g * inv, sum_d)
+            metrics = {k2: v * inv for k2, v in sum_m.items()}
 
         upd_g, opt_g = tx_g.update(grad_g, state.opt_g, state.params_g)
         upd_d, opt_d = tx_d.update(grad_d, state.opt_d, state.params_d)
         new_state = TrainState(
             optax.apply_updates(state.params_g, upd_g),
             optax.apply_updates(state.params_d, upd_d),
-            aux["new_state_g"], aux["new_state_d"],
+            new_state_g, new_state_d,
             opt_g, opt_d, state.step + 1)
-        metrics = {k: aux[k] for k in
-                   ("errD", "errD_real", "errD_fake", "errG", "errG_l2",
-                    "errG_gdl", "errG_total")}
         return new_state, metrics
 
     return step
