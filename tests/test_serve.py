@@ -1,0 +1,121 @@
+"""Serving tests: dynamic batching, HTTP roundtrip, composite semantics."""
+
+import io
+import urllib.error
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+
+import jax
+import numpy as np
+import pytest
+
+from video_filler_tpu.checkpoint import save_checkpoint
+from video_filler_tpu.config import Opt
+from video_filler_tpu.serve import InpaintServer
+from video_filler_tpu.train import init_train_state
+
+TINY = dict(nef=8, ngf=8, ndf=8, nBottleneck=32, computeDtype="float32")
+
+
+def _post(port: int, **arrays) -> np.ndarray:
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    req = urllib.request.Request(f"http://localhost:{port}/inpaint",
+                                 data=buf.getvalue(), method="POST")
+    with np.load(io.BytesIO(urllib.request.urlopen(req).read()),
+                 allow_pickle=False) as data:
+        return data["out"]
+
+
+@pytest.fixture(scope="module")
+def video_server(tmp_path_factory):
+    opt = Opt(predLen=2, batchSize=4, **TINY)
+    state = init_train_state(jax.random.PRNGKey(0), opt, "video")
+    d = tmp_path_factory.mktemp("srv")
+    path = save_checkpoint(str(d), "srv", 1, state)
+    srv = InpaintServer(opt, "video", path, port=0, max_delay_ms=150.0)
+    yield srv
+    srv.close()
+
+
+def test_serve_roundtrip_and_composite(video_server):
+    srv = video_server
+    rs = np.random.RandomState(0)
+    ctx = rs.randint(0, 256, (128, 128, 6), np.uint8)
+
+    # zero mask: output == input exactly (composite keeps ctx outside mask)
+    out = _post(srv.port, ctx=ctx, mask=np.zeros((128, 128, 1), np.uint8))
+    assert out.shape == ctx.shape and out.dtype == np.uint8
+    np.testing.assert_array_equal(out, ctx)
+
+    # no mask: raw generator output, must differ from the input
+    out2 = _post(srv.port, ctx=ctx)
+    assert out2.shape == ctx.shape
+    assert not np.array_equal(out2, ctx)
+
+    # mask composite: equals ctx outside, generator inside
+    mask = np.zeros((128, 128, 1), np.uint8)
+    mask[40:80, 40:80] = 1
+    out3 = _post(srv.port, ctx=ctx, mask=mask)
+    np.testing.assert_array_equal(out3[mask[..., 0] == 0],
+                                  ctx[mask[..., 0] == 0])
+    np.testing.assert_array_equal(out3[mask[..., 0] == 1],
+                                  out2[mask[..., 0] == 1])
+
+
+def test_serve_dynamic_batching(video_server):
+    """Concurrent single-row requests aggregate into shared device batches,
+    and every caller gets ITS row (position in the padded batch must not
+    change the result — BN runs in eval mode)."""
+    srv = video_server
+    rs = np.random.RandomState(1)
+    ctxs = [rs.randint(0, 256, (128, 128, 6), np.uint8) for _ in range(8)]
+
+    solo = [_post(srv.port, ctx=c) for c in ctxs]
+    b0 = srv.stats()["batches"]
+    with ThreadPoolExecutor(8) as pool:
+        outs = list(pool.map(lambda c: _post(srv.port, ctx=c), ctxs))
+    for got, want in zip(outs, solo):
+        np.testing.assert_array_equal(got, want)
+    used = srv.stats()["batches"] - b0
+    assert used < 8, f"no batching happened ({used} batches for 8 requests)"
+    s = srv.stats()
+    assert s["requests"] >= 16 and s["p95_ms"] > 0 and 0 < s["avg_fill"] <= 1
+
+
+def test_serve_batched_request_and_errors(video_server):
+    srv = video_server
+    rs = np.random.RandomState(2)
+    ctx = rs.randint(0, 256, (3, 128, 128, 6), np.uint8)
+    out = _post(srv.port, ctx=ctx)
+    assert out.shape == ctx.shape
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(srv.port, ctx=rs.randint(0, 256, (64, 64, 6), np.uint8))
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(srv.port, ctx=rs.randint(0, 256, (5, 128, 128, 6), np.uint8))
+    assert e.value.code == 400  # exceeds server batch
+
+    health = urllib.request.urlopen(
+        f"http://localhost:{srv.port}/healthz").read()
+    assert health == b"ok"
+
+
+def test_serve_center_regime_raw_output(tmp_path):
+    """center predicts the 64^2 hole from the 128^2 context (different
+    geometry) — serve returns the raw G output and rejects masks."""
+    opt = Opt(batchSize=2, **TINY)
+    state = init_train_state(jax.random.PRNGKey(0), opt, "center")
+    path = save_checkpoint(str(tmp_path), "c", 1, state)
+    srv = InpaintServer(opt, "center", path, port=0, max_delay_ms=1.0)
+    try:
+        rs = np.random.RandomState(0)
+        ctx = rs.randint(0, 256, (128, 128, 3), np.uint8)
+        out = _post(srv.port, ctx=ctx)
+        assert out.shape == (64, 64, 3)
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(srv.port, ctx=ctx, mask=np.ones((128, 128, 1), np.uint8))
+        assert e.value.code == 400
+    finally:
+        srv.close()

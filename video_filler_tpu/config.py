@@ -131,6 +131,9 @@ class Opt:
                                      # two Adam updates once on the averaged
                                      # gradients — a batch-512-effective run
                                      # on small-HBM devices
+    serveMaxDelayMs: float = 5.0     # serve.py dynamic batching: max wait to
+                                     # fill a batch before running a partial
+                                     # one (latency bound under low load)
     checkpointEvery: int = 20        # epochs (train.lua:460; wholeim uses 2)
     checkpointDir: str = "checkpoints"
     autoResume: bool = False         # resume from the latest checkpoint of

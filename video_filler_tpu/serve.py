@@ -1,0 +1,300 @@
+"""Production inference serving — dynamic-batching inpainting server.
+
+The reference has no serving story at all: its evals (test.lua, test_vid.lua,
+test_vid_wholeim.lua) are one-shot batch scripts.  This module serves a
+trained generator over HTTP with TPU-shaped batching:
+
+* **Dynamic batching**: concurrent requests are aggregated into the jitted
+  fixed-batch forward (padding the tail) — single-image requests still ride
+  a full MXU-efficient batch when load is high, and at most ``max_delay_ms``
+  of artificial latency is added when it is not.
+* **uint8 at the boundary**: requests/responses carry uint8 pixels;
+  normalize/denormalize (and the mask composite) are fused into the jitted
+  forward, so host<->device transfers are 4x smaller than f32 (the measured
+  bottleneck over a remote-TPU link, BASELINE.md).
+* **One device client**: all compute funnels through one worker thread — the
+  HTTP pool never contends for the device (concurrent dispatch is the
+  measured 1.5x step-time inflation in CLAUDE.md).
+
+API (all numpy .npz bodies):
+  POST /inpaint   {"ctx": (H,W,C) or (B,H,W,C) uint8 masked context,
+                   optional "mask": (H,W,1) or (B,H,W,1) uint8 {0,1}}
+                  -> {"out": same-shape uint8; inside mask = generated,
+                      outside = ctx (absent mask = full G output)}
+  GET  /stats     {"requests", "items", "batches", "avg_fill", "p50_ms",
+                   "p95_ms"}
+  GET  /healthz   200 "ok"
+
+CLI:
+    python -m video_filler_tpu.serve regime=video net=checkpoints/..._state.npz \
+        predLen=4 batchSize=64 display_port=8100 [serveMaxDelayMs=5]
+
+The model config (predLen, nBottleneck, fineSize, ...) must match the
+checkpoint, exactly as in every eval CLI.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import sys
+import threading
+import time
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from video_filler_tpu.config import Opt, from_args
+from video_filler_tpu.eval.common import load_generator
+from video_filler_tpu.models import specs_for_regime
+
+
+class InpaintServer:
+    """Dynamic-batching HTTP server around one jitted generator forward."""
+
+    def __init__(self, opt: Opt, regime: str, net_path: str,
+                 host: str = "localhost", port: int = 0,
+                 max_delay_ms: float = 5.0):
+        self.opt = opt
+        self.batch = int(opt.batchSize)
+        self.fs = int(opt.fineSize)
+        if opt.noiseGen:
+            raise SystemExit("serve does not support noiseGen generators "
+                             "(their input is a (ctx, z) pair)")
+        if regime == "video3d":
+            raise SystemExit("serve covers the 2D regimes; for temporal-3D "
+                             "clips use eval/stream.py")
+        gspec, _ = specs_for_regime(opt, regime)
+        self.nc_in = gspec.nc_in
+        # Composite-inside-mask needs output == input geometry (video/logo:
+        # 128^2 -> 128^2 same channels).  center predicts the 64^2 hole and
+        # wholeim predicts different channels — those serve the raw G output.
+        self.composable = (gspec.nc_in == gspec.nc_out
+                           and gspec.out_size == self.fs)
+        self.max_delay = max_delay_ms / 1000.0
+        _, self._params, self._bn = load_generator(opt, regime, net_path)
+        from video_filler_tpu.models import build_for_regime
+        gen = build_for_regime(opt, regime)[0]
+        composable = self.composable
+
+        @jax.jit
+        def serve_fn(params, bn_state, ctx_u8, mask_u8):
+            x = ctx_u8.astype(jnp.float32) / 255.0 * 2.0 - 1.0
+            y, _ = gen.apply(params, bn_state, x, train=False)
+            out = y.astype(jnp.float32)
+            if composable:
+                m = mask_u8.astype(jnp.float32)
+                out = m * out + (1.0 - m) * x
+            return jnp.clip((out + 1.0) * 0.5 * 255.0 + 0.5,
+                            0, 255).astype(jnp.uint8)
+
+        self._serve_fn = serve_fn
+        self._queue: queue.Queue = queue.Queue()
+        self._closed = False
+        self._stats_lock = threading.Lock()
+        self._stats = {"requests": 0, "items": 0, "batches": 0}
+        self._latencies: list[float] = []
+
+        # Warm up (compile) before accepting traffic.
+        z = jnp.zeros((self.batch, self.fs, self.fs, self.nc_in), jnp.uint8)
+        zm = jnp.ones((self.batch, self.fs, self.fs, 1), jnp.uint8)
+        np.asarray(self._serve_fn(self._params, self._bn, z, zm))
+
+        self._worker = threading.Thread(target=self._run_batches, daemon=True)
+        self._worker.start()
+        self._srv = ThreadingHTTPServer((host, port), self._handler_class())
+        self.port = self._srv.server_address[1]
+        self._http_thread = threading.Thread(target=self._srv.serve_forever,
+                                             daemon=True)
+        self._http_thread.start()
+
+    # ---- device side ----------------------------------------------------
+
+    def _run_batches(self) -> None:
+        """Single device client: drain the queue into padded fixed batches."""
+        while not self._closed:
+            try:
+                items = [self._queue.get(timeout=0.2)]
+            except queue.Empty:
+                continue
+            deadline = time.perf_counter() + self.max_delay
+            rows = items[0][0].shape[0]
+            while rows < self.batch:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if rows + nxt[0].shape[0] > self.batch:
+                    # keep for the next batch rather than splitting a request
+                    self._queue.put(nxt)
+                    break
+                items.append(nxt)
+                rows += nxt[0].shape[0]
+
+            ctx = np.zeros((self.batch, self.fs, self.fs, self.nc_in),
+                           np.uint8)
+            mask = np.ones((self.batch, self.fs, self.fs, 1), np.uint8)
+            at = 0
+            for c, m, _ in items:
+                ctx[at:at + c.shape[0]] = c
+                if m is not None:
+                    mask[at:at + c.shape[0]] = m
+                at += c.shape[0]
+            try:
+                out = np.asarray(self._serve_fn(self._params, self._bn,
+                                                jnp.asarray(ctx),
+                                                jnp.asarray(mask)))
+                at = 0
+                for c, _, fut in items:
+                    fut.set_result(out[at:at + c.shape[0]])
+                    at += c.shape[0]
+            except Exception as e:  # surface device errors to the clients
+                for _, _, fut in items:
+                    if not fut.done():
+                        fut.set_exception(e)
+            with self._stats_lock:
+                self._stats["batches"] += 1
+                self._stats["items"] += rows
+
+    def infer(self, ctx: np.ndarray, mask: np.ndarray | None) -> np.ndarray:
+        """Enqueue one request (B,fs,fs,nc_in) and block for its rows."""
+        if ctx.shape[0] > self.batch:
+            raise ValueError(
+                f"request of {ctx.shape[0]} rows exceeds the server batch "
+                f"{self.batch} — split client-side")
+        t0 = time.perf_counter()
+        fut: Future = Future()
+        self._queue.put((ctx, mask, fut))
+        out = fut.result(timeout=60.0)
+        with self._stats_lock:
+            self._stats["requests"] += 1
+            self._latencies.append((time.perf_counter() - t0) * 1000.0)
+            del self._latencies[:-10_000]
+        return out
+
+    # ---- HTTP side ------------------------------------------------------
+
+    def _handler_class(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _send(self, code, ctype, body: bytes):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._send(200, "text/plain", b"ok")
+                elif self.path == "/stats":
+                    self._send(200, "application/json",
+                               json.dumps(server.stats()).encode())
+                else:
+                    self._send(404, "text/plain", b"not found")
+
+            def do_POST(self):
+                if self.path != "/inpaint":
+                    self._send(404, "text/plain", b"not found")
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    with np.load(io.BytesIO(self.rfile.read(n)),
+                                 allow_pickle=False) as data:
+                        ctx = data["ctx"]
+                        mask = data["mask"] if "mask" in data.files else None
+                    squeeze = ctx.ndim == 3
+                    if squeeze:
+                        ctx = ctx[None]
+                        mask = None if mask is None else mask[None]
+                    fs, c = server.fs, server.nc_in
+                    if ctx.dtype != np.uint8 or \
+                            ctx.shape[1:] != (fs, fs, c):
+                        raise ValueError(
+                            f"ctx must be uint8 (B,{fs},{fs},{c}), got "
+                            f"{ctx.dtype} {ctx.shape}")
+                    if ctx.shape[0] > server.batch:
+                        raise ValueError(
+                            f"request of {ctx.shape[0]} rows exceeds the "
+                            f"server batch {server.batch} — split "
+                            "client-side")
+                    if mask is not None and not server.composable:
+                        raise ValueError(
+                            "mask compositing needs matching in/out "
+                            "geometry (video/logo regimes); this model "
+                            "serves the raw generator output")
+                    if mask is not None and \
+                            mask.shape != (ctx.shape[0], fs, fs, 1):
+                        raise ValueError(
+                            f"mask must be (B,{fs},{fs},1), got {mask.shape}")
+                except Exception as e:
+                    self._send(400, "text/plain", str(e).encode())
+                    return
+                try:
+                    out = server.infer(ctx, mask)
+                except Exception as e:
+                    self._send(500, "text/plain", str(e).encode())
+                    return
+                buf = io.BytesIO()
+                np.savez(buf, out=(out[0] if squeeze else out))
+                self._send(200, "application/octet-stream", buf.getvalue())
+
+        return Handler
+
+    def stats(self) -> dict:
+        with self._stats_lock:
+            s = dict(self._stats)
+            lat = sorted(self._latencies)
+        s["avg_fill"] = (s["items"] / (s["batches"] * self.batch)
+                         if s["batches"] else 0.0)
+        s["p50_ms"] = lat[len(lat) // 2] if lat else 0.0
+        s["p95_ms"] = lat[int(len(lat) * 0.95)] if lat else 0.0
+        return s
+
+    def close(self) -> None:
+        self._closed = True
+        self._srv.shutdown()
+        self._srv.server_close()
+        self._worker.join(timeout=5.0)
+        self._http_thread.join(timeout=2.0)
+
+
+def main(argv: list[str]) -> None:
+    regime, rest = "video", []
+    for a in argv:
+        k, _, v = a.partition("=")
+        if k == "regime":
+            regime = v
+        else:
+            rest.append(a)
+    opt = from_args(rest)
+    if not opt.net:
+        raise SystemExit("serve needs net=<checkpoint .npz or .t7>")
+    srv = InpaintServer(opt, regime, opt.net, port=opt.display_port,
+                        max_delay_ms=opt.serveMaxDelayMs)
+    print(f"serving {opt.net} (regime={regime}, batch={opt.batchSize}) on "
+          f"http://localhost:{srv.port}/  — POST /inpaint, GET /stats")
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        srv.close()
+
+
+def cli() -> None:
+    main(sys.argv[1:])
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
