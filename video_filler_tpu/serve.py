@@ -58,7 +58,7 @@ class InpaintServer:
 
     def __init__(self, opt: Opt, regime: str, net_path: str,
                  host: str = "localhost", port: int = 0,
-                 max_delay_ms: float = 5.0):
+                 max_delay_ms: float = 5.0, device_thread: bool = True):
         self.opt = opt
         self.batch = int(opt.batchSize)
         self.fs = int(opt.fineSize)
@@ -104,8 +104,15 @@ class InpaintServer:
         zm = jnp.ones((self.batch, self.fs, self.fs, 1), jnp.uint8)
         np.asarray(self._serve_fn(self._params, self._bn, z, zm))
 
-        self._worker = threading.Thread(target=self._run_batches, daemon=True)
-        self._worker.start()
+        # device_thread=False: the caller drives the batch loop itself via
+        # run_forever() — lets the DEVICE work own the main thread (some
+        # remote-TPU transports service transfers there) while HTTP handlers
+        # run on the pool threads.
+        self._worker = None
+        if device_thread:
+            self._worker = threading.Thread(target=self._run_batches,
+                                            daemon=True)
+            self._worker.start()
         self._srv = ThreadingHTTPServer((host, port), self._handler_class())
         self.port = self._srv.server_address[1]
         self._http_thread = threading.Thread(target=self._srv.serve_forever,
@@ -262,11 +269,16 @@ class InpaintServer:
         s["p95_ms"] = lat[int(len(lat) * 0.95)] if lat else 0.0
         return s
 
+    def run_forever(self) -> None:
+        """Drive the batch loop on the calling thread (device_thread=False)."""
+        self._run_batches()
+
     def close(self) -> None:
         self._closed = True
         self._srv.shutdown()
         self._srv.server_close()
-        self._worker.join(timeout=5.0)
+        if self._worker is not None:
+            self._worker.join(timeout=5.0)
         self._http_thread.join(timeout=2.0)
 
 
@@ -282,12 +294,13 @@ def main(argv: list[str]) -> None:
     if not opt.net:
         raise SystemExit("serve needs net=<checkpoint .npz or .t7>")
     srv = InpaintServer(opt, regime, opt.net, port=opt.display_port,
-                        max_delay_ms=opt.serveMaxDelayMs)
+                        max_delay_ms=opt.serveMaxDelayMs,
+                        device_thread=False)
     print(f"serving {opt.net} (regime={regime}, batch={opt.batchSize}) on "
-          f"http://localhost:{srv.port}/  — POST /inpaint, GET /stats")
+          f"http://localhost:{srv.port}/  — POST /inpaint, GET /stats",
+          flush=True)
     try:
-        while True:
-            time.sleep(3600)
+        srv.run_forever()  # device work on the main thread
     except KeyboardInterrupt:
         srv.close()
 
