@@ -596,3 +596,88 @@ def test_export_generator_128(tmp_path):
                       jax.tree.map(jnp.asarray, s2), x, train=False)
     np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_reader_fuzz_random_trees(tmp_path):
+    """Property fuzz: random nested Torch7 object trees (tables, numbers,
+    strings, booleans, nil, tensors of random rank, torch objects) written
+    by the oracle writer must read back structurally identical."""
+    from video_filler_tpu.checkpoint.t7 import TorchObject, read_t7
+
+    def gen(rs, depth):
+        r = rs.rand()
+        if depth >= 3 or r < 0.35:
+            kind = rs.randint(5)
+            if kind == 0:
+                return float(np.round(rs.randn() * 100, 6))
+            if kind == 1:
+                return "s" + str(rs.randint(10**6))
+            if kind == 2:
+                return bool(rs.randint(2))
+            if kind == 3:
+                return None
+            shape = tuple(rs.randint(1, 4) for _ in range(rs.randint(1, 5)))
+            return rs.randn(*shape).astype(np.float32)
+        n = rs.randint(0, 4)
+        d = {f"k{i}": gen(rs, depth + 1) for i in range(n)}
+        if r < 0.8:
+            return d
+        return ("obj", f"nn.Fuzz{rs.randint(5)}", d)
+
+    def write(w, v):
+        if isinstance(v, tuple) and v[0] == "obj":
+            w.torch_object(v[1], v[2])
+        elif isinstance(v, np.ndarray):
+            w.tensor(v)
+        elif isinstance(v, dict):
+            w.table(v)
+        else:
+            w.write(v)
+
+    def check(want, got, path="root"):
+        if isinstance(want, tuple) and want[0] == "obj":
+            assert isinstance(got, TorchObject), path
+            assert got.torch_type == want[1], path
+            check(want[2], got.fields, path + ".fields")
+        elif isinstance(want, np.ndarray):
+            np.testing.assert_array_equal(got, want, err_msg=path)
+        elif isinstance(want, dict):
+            assert isinstance(got, dict) and set(got) == set(want), path
+            for k in want:
+                check(want[k], got[k], f"{path}.{k}")
+        elif want is None:
+            assert got is None, path
+        elif isinstance(want, bool):
+            assert got is want, path
+        elif isinstance(want, float):
+            assert got == want, path
+        else:
+            assert got == want, path
+
+    # patch T7Writer.table to route values through the fuzz writer
+    class FuzzWriter(T7Writer):
+        def table(self, d):
+            self._i32(3)
+            self._i32(self.next_idx)
+            self.next_idx += 1
+            self._i32(len(d))
+            for k, v in d.items():
+                self.write(k)
+                write(self, v)
+
+        def torch_object(self, cls, fields):
+            self._i32(4)
+            self._i32(self.next_idx)
+            self.next_idx += 1
+            self._raw_str("V 1")
+            self._raw_str(cls)
+            self.table(fields)
+
+    for seed in range(30):
+        rs = np.random.RandomState(seed)
+        tree = {"root": gen(rs, 0)}
+        w = FuzzWriter()
+        w.table(tree)
+        p = tmp_path / f"fuzz{seed}.t7"
+        p.write_bytes(w.buf.getvalue())
+        check(tree, read_t7(str(p)), f"seed{seed}")
