@@ -62,6 +62,10 @@ def test_serve_roundtrip_and_composite(video_server):
     np.testing.assert_array_equal(out3[mask[..., 0] == 1],
                                   out2[mask[..., 0] == 1])
 
+    # the common 0/255 PNG mask convention binarizes to the same composite
+    out4 = _post(srv.port, ctx=ctx, mask=mask * 255)
+    np.testing.assert_array_equal(out4, out3)
+
 
 def test_serve_dynamic_batching(video_server):
     """Concurrent single-row requests aggregate into shared device batches,

@@ -86,12 +86,14 @@ _SAVE_ERRORS: list[tuple[str, BaseException]] = []
 
 
 def _raise_pending_error() -> None:
-    if _SAVE_ERRORS:
-        path, err = _SAVE_ERRORS[0]
-        _SAVE_ERRORS.clear()
+    errs = []
+    while _SAVE_ERRORS:       # pop-one-at-a-time: no lost concurrent appends
+        errs.append(_SAVE_ERRORS.pop(0))
+    if errs:
+        paths = ", ".join(f"{p!r} ({type(e).__name__}: {e})" for p, e in errs)
         raise RuntimeError(
-            f"async checkpoint write failed for {path!r} — the file was NOT "
-            "saved (disk full / permissions?)") from err
+            f"async checkpoint write failed — file(s) NOT saved (disk full "
+            f"/ permissions?): {paths}") from errs[0][1]
 
 
 def wait_pending_saves(timeout: float | None = None) -> None:

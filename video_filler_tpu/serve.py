@@ -81,16 +81,19 @@ class InpaintServer:
         gen = build_for_regime(opt, regime)[0]
         composable = self.composable
 
+        from video_filler_tpu.ops import image as image_ops
+
         @jax.jit
         def serve_fn(params, bn_state, ctx_u8, mask_u8):
-            x = ctx_u8.astype(jnp.float32) / 255.0 * 2.0 - 1.0
+            x = image_ops.normalize_uint8(ctx_u8)
             y, _ = gen.apply(params, bn_state, x, train=False)
             out = y.astype(jnp.float32)
             if composable:
-                m = mask_u8.astype(jnp.float32)
+                # Binarize: clients commonly send 0/255 masks (PNG decode);
+                # any nonzero pixel means "inside the hole".
+                m = (mask_u8 > 0).astype(jnp.float32)
                 out = m * out + (1.0 - m) * x
-            return jnp.clip((out + 1.0) * 0.5 * 255.0 + 0.5,
-                            0, 255).astype(jnp.uint8)
+            return image_ops.denormalize_to_uint8(out)
 
         self._serve_fn = serve_fn
         self._queue: queue.Queue = queue.Queue()
@@ -110,6 +113,15 @@ class InpaintServer:
         # run on the pool threads.
         self._worker = None
         if device_thread:
+            if jax.default_backend() == "axon":
+                # This transport services transfers on the main thread;
+                # a background device worker degrades ~6x or hangs outright
+                # (CLAUDE.md).  Fail loudly instead of hanging.
+                raise RuntimeError(
+                    "the axon remote-TPU transport cannot run device work "
+                    "on a background thread — construct with "
+                    "device_thread=False and call run_forever() on the "
+                    "main thread (the CLI does this)")
             self._worker = threading.Thread(target=self._run_batches,
                                             daemon=True)
             self._worker.start()

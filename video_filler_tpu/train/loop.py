@@ -366,7 +366,13 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
         logger.close()
         if dashboard is not None:
             dashboard.close()
-        wait_pending_saves()
+        try:
+            wait_pending_saves()
+        except Exception:
+            # Same rule as the flush above: a failed-checkpoint report must
+            # not REPLACE the exception that actually aborted training.
+            if not propagating:
+                raise
     return state
 
 
