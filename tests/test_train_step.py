@@ -321,3 +321,15 @@ def test_grad_accum_video_regime_runs(rng):
     assert int(new_state.step) == 1
     for k, v in metrics.items():
         assert np.isfinite(float(v)), k
+
+
+def test_grad_accum_noise_gen_runs(rng):
+    """The per-sample noise tensor splits with the batch under accumulation
+    (the (ctx, z) generator-input pair is rebuilt per microbatch)."""
+    opt = Opt(wtl2=0.999, overlapPred=4, noiseGen=True, gradAccum=2, **TINY)
+    state = init_train_state(rng, opt, "center")
+    step = jax.jit(make_train_step(opt, "center"))
+    new_state, metrics = step(state, _center_batch(), jax.random.PRNGKey(3))
+    assert int(new_state.step) == 1
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
