@@ -1,5 +1,7 @@
 """Checkpoint roundtrip: params, BN stats, BOTH Adam states, step counter."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -156,3 +158,25 @@ def test_async_write_failure_surfaces(tmp_path, rng, monkeypatch):
     with pytest.raises(RuntimeError, match="NOT saved"):
         save_checkpoint(str(tmp_path), "x", 3, state, async_write=True)
     wait_pending_saves()
+
+
+def test_prune_checkpoints(tmp_path, rng):
+    """keepCheckpoints retention: newest N of THIS run's files survive;
+    other runs' checkpoints and keep<=0 are untouched."""
+    from video_filler_tpu.checkpoint import prune_checkpoints
+
+    opt = Opt(**TINY)
+    state = init_train_state(rng, opt, "center")
+    for e in (1, 2, 3, 4):
+        save_checkpoint(str(tmp_path), "runA", e, state)
+    save_checkpoint(str(tmp_path), "runB", 9, state)
+
+    assert prune_checkpoints(str(tmp_path), "runA", 0) == []
+    deleted = prune_checkpoints(str(tmp_path), "runA", 2)
+    assert sorted(os.path.basename(p) for p in deleted) == \
+        ["runA_1_state.npz", "runA_2_state.npz"]
+    left = sorted(p.name for p in tmp_path.iterdir())
+    assert left == ["runA_3_state.npz", "runA_4_state.npz",
+                    "runB_9_state.npz"]
+    # missing dir: no-op
+    assert prune_checkpoints(str(tmp_path / "nope"), "x", 3) == []

@@ -1,5 +1,6 @@
 from video_filler_tpu.checkpoint.ckpt import (  # noqa: F401
     checkpoint_path,
+    prune_checkpoints,
     restore_checkpoint,
     restore_latest,
     restore_subtree,

@@ -156,6 +156,29 @@ def restore_subtree(path: str, target: Any, prefix: str) -> Any:
     return _restore_into(stored, target, prefix)
 
 
+def prune_checkpoints(ckpt_dir: str, name: str, keep: int) -> list[str]:
+    """Delete `name`'s checkpoints beyond the newest `keep` (by epoch).
+
+    Full-width TrainStates are ~800 MB each; a 500-epoch run at the
+    reference's checkpointEvery=20 keeps 25 of them.  Returns the deleted
+    paths.  keep<=0 is a no-op (the reference keeps everything).  The loop
+    prunes BEFORE each new save, so `keep` fully-written checkpoints always
+    remain on disk even if the incoming (possibly async) write fails.
+    """
+    if keep <= 0 or not os.path.isdir(ckpt_dir):
+        return []
+    pat = re.compile(re.escape(name) + r"_(\d+)_state\.npz$")
+    found = sorted(
+        ((int(m.group(1)), fn) for fn in os.listdir(ckpt_dir)
+         if (m := pat.match(fn))), reverse=True)
+    deleted = []
+    for _, fn in found[keep:]:
+        p = os.path.join(ckpt_dir, fn)
+        os.remove(p)
+        deleted.append(p)
+    return deleted
+
+
 def restore_latest(ckpt_dir: str, name: str, target: Any):
     """Resume from the highest-epoch checkpoint, or None if none exist
     (the loadName/loadIter finetune path, train_vid_weighted.lua:242-257)."""

@@ -136,6 +136,10 @@ class Opt:
                                      # one (latency bound under low load)
     checkpointEvery: int = 20        # epochs (train.lua:460; wholeim uses 2)
     checkpointDir: str = "checkpoints"
+    keepCheckpoints: int = 0         # >0: after each save, delete this run's
+                                     # older checkpoints beyond the newest N
+                                     # (full-width states are ~800 MB each);
+                                     # 0 = keep all (reference behavior)
     autoResume: bool = False         # resume from the latest checkpoint of
                                      # `name` if one exists (crash recovery;
                                      # supersedes loadName/loadIter when set)

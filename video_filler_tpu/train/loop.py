@@ -339,6 +339,12 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
             logger.log_epoch(epoch, opt.niter,
                              time.perf_counter() - t_epoch)
             if epoch % opt.checkpointEvery == 0 and is_main:
+                if opt.keepCheckpoints > 0:
+                    # Prune BEFORE saving: `keep` fully-written checkpoints
+                    # stay on disk even if the incoming async write fails.
+                    from video_filler_tpu.checkpoint import prune_checkpoints
+                    prune_checkpoints(opt.checkpointDir, opt.name,
+                                      opt.keepCheckpoints)
                 # Serialization/disk write happens on a background thread;
                 # only the (mandatory, pre-donation) device fetch blocks.
                 p = save_checkpoint(opt.checkpointDir, opt.name, epoch,
