@@ -60,6 +60,12 @@ def short_side_resize(img: np.ndarray, load_size: int,
     load_size == 0: no resize;
     load_size == -1: random uniform scale in [0.5, 1.5];
     load_size < -1: random uniform scale in [1, 3].
+
+    NOT replicated: the reference's random-scale branch calls
+    ``image.scale(input, iH, iW)`` (donkey_folder.lua:59) with the
+    width/height arguments swapped, transposing the target dims and
+    distorting aspect on non-square images — a latent defect; here both
+    dims scale by the same factor, the obvious intent.
     """
     h, w = img.shape[:2]
     if load_size > 0:
