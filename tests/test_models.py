@@ -160,3 +160,67 @@ def test_generator_param_count_vs_torch_center():
     params, _ = build_generator(spec).init(jax.random.PRNGKey(0))
     ours = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     assert ours == torch_count
+
+
+def test_condition_adv_forward_matches_torch(rng):
+    """The conditionAdv head's hoisted-pad formulation (explicit 32-pad +
+    pad-2 conv, context_encoder.py:214-223) must equal the reference's
+    single pad-34 conv (train.lua:166) — verified against a torch replica
+    of the whole dual-head discriminator, eval mode."""
+    import torch
+    import torch.nn as nn
+
+    torch.manual_seed(4)
+    NDF = 8
+    ctx_head_t = nn.Conv2d(3, NDF, 5, 2, 2, bias=False)
+    pred_head_t = nn.Conv2d(3, NDF, 5, 2, 34, bias=False)  # 2 + 32
+    join_t = nn.Sequential(
+        nn.LeakyReLU(0.2),
+        nn.Conv2d(NDF * 2, NDF, 4, 2, 1, bias=False), nn.BatchNorm2d(NDF),
+        nn.LeakyReLU(0.2),
+        nn.Conv2d(NDF, NDF * 2, 4, 2, 1, bias=False),
+        nn.BatchNorm2d(NDF * 2), nn.LeakyReLU(0.2),
+        nn.Conv2d(NDF * 2, NDF * 4, 4, 2, 1, bias=False),
+        nn.BatchNorm2d(NDF * 4), nn.LeakyReLU(0.2),
+        nn.Conv2d(NDF * 4, NDF * 8, 4, 2, 1, bias=False),
+        nn.BatchNorm2d(NDF * 8), nn.LeakyReLU(0.2),
+        nn.Conv2d(NDF * 8, 1, 4, 1, 0, bias=False))
+    for m in (ctx_head_t, pred_head_t, join_t):
+        m.eval()
+
+    disc = build_discriminator(DiscriminatorSpec(
+        nc_in=3, in_size=64, condition_adv=True, nc_ctx=3, ndf=NDF,
+        dtype=DT))
+    params, state = disc.init(rng)
+
+    def cw(m):
+        return jnp.asarray(m.weight.detach().numpy().transpose(2, 3, 1, 0))
+
+    params["ctx"] = {"w": cw(ctx_head_t)}
+    params["pred"] = {"w": cw(pred_head_t)}
+    jconvs = [f"conv{i}" for i in range(1, 6)]
+    jbns = ["bn1", "bn2", "bn3", "bn4"]
+    tconvs = [m for m in join_t if isinstance(m, nn.Conv2d)]
+    tbns = [m for m in join_t if isinstance(m, nn.BatchNorm2d)]
+    for name, m in zip(jconvs, tconvs):
+        params["join"][name]["w"] = cw(m)
+    for name, m in zip(jbns, tbns):
+        params["join"][name] = {
+            "gamma": jnp.asarray(m.weight.detach().numpy()),
+            "beta": jnp.asarray(m.bias.detach().numpy())}
+        state["join"][name] = {
+            "mean": jnp.asarray(m.running_mean.numpy()),
+            "var": jnp.asarray(m.running_var.numpy())}
+
+    rs = np.random.RandomState(11)
+    ctx = rs.rand(2, 128, 128, 3).astype(np.float32) * 2 - 1
+    pred = rs.rand(2, 64, 64, 3).astype(np.float32) * 2 - 1
+    logits, _ = disc.apply(params, state, (jnp.asarray(ctx),
+                                           jnp.asarray(pred)), train=False)
+
+    with torch.no_grad():
+        hc = ctx_head_t(torch.from_numpy(ctx.transpose(0, 3, 1, 2).copy()))
+        hp = pred_head_t(torch.from_numpy(pred.transpose(0, 3, 1, 2).copy()))
+        ref = join_t(torch.cat([hc, hp], dim=1)).view(-1).numpy()
+
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=1e-4, atol=1e-5)
