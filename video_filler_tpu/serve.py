@@ -305,6 +305,15 @@ def main(argv: list[str]) -> None:
     opt = from_args(rest)
     if not opt.net:
         raise SystemExit("serve needs net=<checkpoint .npz or .t7>")
+    # Persistent compile cache: a server restart skips the generator
+    # recompile (the startup cost is otherwise compile-dominated).
+    import os
+
+    from video_filler_tpu.utils import host_keyed_cache_dir
+    jax.config.update("jax_compilation_cache_dir",
+                      host_keyed_cache_dir(os.path.join(
+                          os.path.expanduser("~"), ".cache", "vf_tpu_jit")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     srv = InpaintServer(opt, regime, opt.net, port=opt.display_port,
                         max_delay_ms=opt.serveMaxDelayMs,
                         device_thread=False)
