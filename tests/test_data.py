@@ -190,3 +190,41 @@ def test_native_video_sampler_mask_alignment(video_root):
     batch2 = video_sampler(opt, corpus, mask)(np.random.RandomState(3))
     np.testing.assert_array_equal(batch["raw"], batch2["raw"])
     np.testing.assert_array_equal(batch["mask"], batch2["mask"])
+
+
+def test_video_corpus_per_video_start_offsets(tmp_path):
+    """Videos whose frame numbering starts at different values must sample
+    existing paths (a single global start would point video B at frames
+    that only exist for video A)."""
+    from video_filler_tpu.data.synthetic import _texture
+    from video_filler_tpu.utils.io import save_png
+
+    d = tmp_path / "gt"
+    d.mkdir()
+    rs = np.random.RandomState(0)
+    img = _texture(rs, 40, 40)
+    for i in range(1, 7):                  # video A: frames 1..6
+        save_png(str(d / f"{i:07d}_a.png"), img)
+    for i in range(100, 106):              # video B: frames 100..105
+        save_png(str(d / f"{i:07d}_b.png"), img)
+
+    corpus = VideoCorpus(str(tmp_path), variants=(("gt", 1.0),))
+    assert corpus.starts == [1, 100] and corpus.counts == [6, 6]
+    for seed in range(20):
+        clip = corpus.sample_clip(np.random.RandomState(seed), 3)
+        assert all(os.path.exists(p) for p in clip), clip
+
+
+def test_video_sampler_upscales_small_frames(tmp_path, monkeypatch):
+    """loadSize=0 with frames smaller than fineSize must upscale (matching
+    the image donkey) instead of crashing on the crop assignment.  Python
+    path only — the native loader rejects undersized frames with a
+    descriptive error by design."""
+    from video_filler_tpu.data.synthetic import make_video_corpus
+
+    monkeypatch.setenv("VF_NO_NATIVE", "1")
+    make_video_corpus(str(tmp_path / "c"), n_videos=1, frames=6, h=50, w=60)
+    opt = Opt(batchSize=2, loadSize=0, fineSize=128, predLen=2, nThreads=0)
+    corpus = VideoCorpus(str(tmp_path / "c"))
+    batch = video_sampler(opt, corpus, None)(np.random.RandomState(0))
+    assert batch["raw"].shape == (2, 128, 128, 6)

@@ -137,3 +137,22 @@ def test_stream_whole_video(video_setup, tmp_path):
     for i in (1, 6):
         assert os.path.exists(tmp_path / f"st/inpaint_{i:05d}.png")
     assert os.path.exists(str(tmp_path / "st") + "_inpaint.gif")
+
+
+def test_load_generator_returns_device_arrays(tmp_path, rng):
+    """restore_subtree yields host-numpy trees; load_generator must commit
+    them to device ONCE — numpy args make jit re-upload the full generator
+    on every call (serving/bench would measure weight transfer)."""
+    import jax
+
+    from video_filler_tpu.checkpoint import save_checkpoint
+    from video_filler_tpu.eval.common import load_generator
+    from video_filler_tpu.train import init_train_state
+
+    opt = Opt(nef=8, ngf=8, ndf=8, nBottleneck=32, batchSize=2,
+              computeDtype="float32")
+    state = init_train_state(rng, opt, "center")
+    p = save_checkpoint(str(tmp_path), "dev", 1, state)
+    _, params, bn_state = load_generator(opt, "center", p)
+    for leaf in jax.tree.leaves(params) + jax.tree.leaves(bn_state):
+        assert isinstance(leaf, jax.Array), type(leaf)

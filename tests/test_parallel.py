@@ -120,3 +120,23 @@ def test_tp_rules_fail_loudly_on_rename(rng):
         "dec": {"up0": {"w": jnp.zeros((4, 4, 64, 64))}}}}
     with pytest.raises(ValueError, match=r"enc/conv5/w"):
         parallel.state_shardings(mesh, partial)
+
+
+def test_tp_shards_video3d_5d_weights(rng):
+    """The TP rules derive axis positions from leaf.ndim: video3d's 5-D
+    bottleneck weights (t,kh,kw,cin,nB)/(t,kh,kw,nB,cout) must shard the
+    nBottleneck dimension, not a spatial/cin axis (full-repo review r2)."""
+    opt = Opt(nef=8, ngf=8, ndf=8, nBottleneck=64, predLen=2, batchSize=8,
+              video3dLevels=5, computeDtype="float32")
+    state = init_train_state(rng, opt, "video3d")
+    mesh = parallel.make_mesh(n_data=2, n_model=4)
+    sharded = parallel.shard_train_state(mesh, state)
+    w = sharded.params_g["enc"]["conv5"]["w"]     # (t,4,4,cin,nB)
+    assert w.ndim == 5
+    shard = w.sharding.shard_shape(w.shape)
+    assert shard[-1] == w.shape[-1] // 4          # nB sharded
+    assert shard[:-1] == w.shape[:-1]             # nothing else
+    up0 = sharded.params_g["dec"]["up0"]["w"]     # (t,4,4,nB,cout)
+    shard0 = up0.sharding.shard_shape(up0.shape)
+    assert shard0[-2] == up0.shape[-2] // 4
+    assert shard0[:3] == up0.shape[:3] and shard0[-1] == up0.shape[-1]

@@ -152,12 +152,20 @@ class VideoCorpus:
     counts: list[int] = field(default_factory=list)     # per-video frame count
     pad: int = 7                                        # zero-pad width
     start: int = 1                                      # first frame number
+                                                        # (min over videos)
+    starts: list[int] = field(default_factory=list)     # per-video first
+                                                        # frame; defaults to
+                                                        # `start` everywhere
 
     def __post_init__(self):
         if not self.suffixes:
             self._discover()
         if len(self.suffixes) != len(self.counts):
             raise ValueError("suffixes and counts must align")
+        if not self.starts:
+            self.starts = [self.start] * len(self.suffixes)
+        if len(self.starts) != len(self.suffixes):
+            raise ValueError("starts and suffixes must align")
 
     def _discover(self) -> None:
         """Scan the first variant dir, group frames by suffix."""
@@ -176,7 +184,11 @@ class VideoCorpus:
             raise FileNotFoundError(f"no numbered frames under {d}")
         self.suffixes = sorted(groups)
         self.counts = [max(groups[s]) - min(groups[s]) + 1 for s in self.suffixes]
-        self.start = min(min(groups[s]) for s in self.suffixes)
+        # Per-video first frame: videos may start at different numbers; a
+        # single global minimum would build paths to nonexistent frames for
+        # any video starting later.
+        self.starts = [min(groups[s]) for s in self.suffixes]
+        self.start = min(self.starts)
         if len(pads) != 1:
             raise ValueError(
                 f"inconsistent frame-number zero-padding under {d}: {pads}")
@@ -189,7 +201,7 @@ class VideoCorpus:
         """Uniform video, uniform start, variant by probability
         (datavid/dataset.lua:360-378)."""
         v = rs.randint(len(self.suffixes))
-        start = self.start + rs.randint(self.counts[v] - length + 1)
+        start = self.starts[v] + rs.randint(self.counts[v] - length + 1)
         r, acc = rs.rand(), 0.0
         variant = self.variants[-1][0]
         for name, p in self.variants:

@@ -173,6 +173,13 @@ def video_sampler(opt: Opt, corpus: VideoCorpus,
             clip = np.concatenate(frames, axis=-1)          # (H, W, nc*pl)
             clip = decode.short_side_resize(clip, opt.loadSize, rs)
             h, w = clip.shape[:2]
+            if h < fs or w < fs:
+                # Undersized frames (loadSize=0 or < fineSize): upscale so
+                # the crop fits, matching center_sampler._python_one —
+                # otherwise the assignment below fails with an opaque
+                # broadcast error inside a worker thread.
+                clip = decode.resize(clip, max(h, fs), max(w, fs))
+                h, w = clip.shape[:2]
             y, x = _random_crop_hw(rs, h, w, fs, fs)
             crop = clip[y:y + fs, x:x + fs]
             if crop.mean() < 0.1 * 255 and rs.rand() <= 0.95:

@@ -33,6 +33,12 @@ def load_generator(opt: Opt, regime: str, net_path: str):
         params_t, state_t = gen.init(jax.random.PRNGKey(0))
         params = restore_subtree(net_path, params_t, ".params_g")
         bn_state = restore_subtree(net_path, state_t, ".state_g")
+    # Commit the weights to device ONCE: restore/import return host-numpy
+    # trees, and jit re-transfers numpy arguments on EVERY call — serving
+    # and throughput benches would otherwise re-upload the full generator
+    # per forward (eval/stream.py device_puts for the same reason).
+    params = jax.device_put(params)
+    bn_state = jax.device_put(bn_state)
 
     @jax.jit
     def forward(params, bn_state, x):

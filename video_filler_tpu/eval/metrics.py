@@ -91,7 +91,9 @@ def bench_inference(opt: Opt, regime: str, iters: int = 50) -> dict:
     forward, params, bn_state = load_generator(opt, regime, opt.net)
     rs = np.random.RandomState(0)
     if regime == "video3d":
-        shape = (opt.batchSize, opt.predLen, 128, 128, opt.nc)
+        side = 4 * 2 ** opt.video3dLevels  # the 3D family's input size is
+        # set by its spatial-halving count, not fixed at 128
+        shape = (opt.batchSize, opt.predLen, side, side, opt.nc)
     else:
         from video_filler_tpu.models import specs_for_regime
         gspec, _ = specs_for_regime(opt, regime)

@@ -37,7 +37,8 @@ VFLIP_TOP_TILES = 3
 
 
 def _prep_geometry(opt: Opt, corpus: VideoCorpus, mask01: np.ndarray):
-    probe = decode.decode_image(corpus.get_clip(0, corpus.start, 1)[0], opt.nc)
+    probe = decode.decode_image(corpus.get_clip(0, corpus.starts[0], 1)[0],
+                                opt.nc)
     orih, oriw = probe.shape[:2]
     inh = opt.loadSize
     inw = round(opt.loadSize * oriw / orih)
@@ -101,9 +102,9 @@ def run_stream(opt: Opt, video: int = 0, start_frame: int | None = None,
     inh, inw, outh, outw = geom
     fs, nc, pl = opt.fineSize, opt.nc, opt.predLen
 
-    start = start_frame or corpus.start
+    start = start_frame or corpus.starts[video]
     total = num_frames or (corpus.counts[video]
-                           - (start - corpus.start))
+                           - (start - corpus.starts[video]))
     total -= total % pl
     assert total > 0, "no full predLen window in the requested range"
 

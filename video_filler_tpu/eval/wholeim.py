@@ -50,7 +50,8 @@ def _load_padded_frames(opt: Opt, corpus: VideoCorpus,
     """Returns (frames, orig, padmask): frames (T, outH, outW, nc) in [-1,1]
     mask-filled + padded; orig the unpadded [-1,1] originals; padmask
     (outH, outW, 1) uint8."""
-    probe = decode.decode_image(corpus.get_clip(0, corpus.start, 1)[0], opt.nc)
+    probe = decode.decode_image(corpus.get_clip(0, corpus.starts[0], 1)[0],
+                                opt.nc)
     orih, oriw = probe.shape[:2]
     inh = opt.loadSize
     inw = round(opt.loadSize * oriw / orih)
@@ -61,7 +62,8 @@ def _load_padded_frames(opt: Opt, corpus: VideoCorpus,
     sc_mask = masks.binarize_mask(sc.astype(np.float32) / 255.0, "gt03")
 
     vid = rs.randint(len(corpus.suffixes))
-    start = corpus.start + rs.randint(corpus.counts[vid] - opt.predLen + 1)
+    start = corpus.starts[vid] + rs.randint(corpus.counts[vid]
+                                            - opt.predLen + 1)
     paths = corpus.get_clip(vid, start, opt.predLen)
 
     frames = np.zeros((opt.predLen, outh, outw, opt.nc), np.float32)

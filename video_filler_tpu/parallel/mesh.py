@@ -82,21 +82,24 @@ def _param_spec(path: tuple, leaf, tp: bool) -> tuple[P, str | None]:
     """TP rules keyed on the param-tree path; returns (spec, rule_name).
 
     Generator bottleneck (models/context_encoder.py):
-      enc/conv5/w   (4,4,8nef,nB)  -> shard nB (out channels)
+      enc/conv5/w   (...,8nef,nB)  -> shard nB (LAST axis: out channels)
       bott_bn/{gamma,beta}  (nB,)  -> shard
-      dec/up0/w     (4,4,nB,8ngf)  -> shard nB (in channels)
+      dec/up0/w     (...,nB,8ngf)  -> shard nB (second-to-last: in channels)
+    Axis positions derive from leaf.ndim so the 5-D video3d conv weights
+    ((t,kh,kw,cin,cout)) shard the same logical dimension as the 2-D family.
     Everything else replicated.
     """
     if not tp:
         return P(), None
     keys = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
     joined = "/".join(str(k) for k in keys)
+    nd = getattr(leaf, "ndim", 0)
     if joined.endswith("enc/conv5/w"):
-        return P(None, None, None, MODEL_AXIS), "enc/conv5/w"
+        return P(*([None] * (nd - 1)), MODEL_AXIS), "enc/conv5/w"
     if "bott_bn" in joined and keys[-1] in ("gamma", "beta", "mean", "var"):
         return P(MODEL_AXIS), "bott_bn"
     if joined.endswith("dec/up0/w"):
-        return P(None, None, MODEL_AXIS, None), "dec/up0/w"
+        return P(*([None] * (nd - 2)), MODEL_AXIS, None), "dec/up0/w"
     return P(), None
 
 

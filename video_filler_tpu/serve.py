@@ -135,11 +135,15 @@ class InpaintServer:
 
     def _run_batches(self) -> None:
         """Single device client: drain the queue into padded fixed batches."""
+        carry = None  # request that didn't fit the previous batch: runs FIRST
         while not self._closed:
-            try:
-                items = [self._queue.get(timeout=0.2)]
-            except queue.Empty:
-                continue
+            if carry is not None:
+                items, carry = [carry], None
+            else:
+                try:
+                    items = [self._queue.get(timeout=0.2)]
+                except queue.Empty:
+                    continue
             deadline = time.perf_counter() + self.max_delay
             rows = items[0][0].shape[0]
             while rows < self.batch:
@@ -151,8 +155,9 @@ class InpaintServer:
                 except queue.Empty:
                     break
                 if rows + nxt[0].shape[0] > self.batch:
-                    # keep for the next batch rather than splitting a request
-                    self._queue.put(nxt)
+                    # head of the NEXT batch (a re-enqueue to the queue tail
+                    # would reorder it behind later arrivals — starvation)
+                    carry = nxt
                     break
                 items.append(nxt)
                 rows += nxt[0].shape[0]
@@ -181,6 +186,8 @@ class InpaintServer:
             with self._stats_lock:
                 self._stats["batches"] += 1
                 self._stats["items"] += rows
+        if carry is not None:  # don't strand a held-over request at shutdown
+            carry[2].set_exception(RuntimeError("server closed"))
 
     def infer(self, ctx: np.ndarray, mask: np.ndarray | None) -> np.ndarray:
         """Enqueue one request (B,fs,fs,nc_in) and block for its rows."""

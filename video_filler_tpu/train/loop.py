@@ -143,6 +143,14 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
             # Largest data-axis size dividing the batch that fits the devices.
             avail = len(jax.devices()) // opt.modelParallel
             n_data = math.gcd(opt.batchSize, avail) if avail else 1
+            if avail and n_data < avail and not quiet:
+                # Silent half-machine runs are a 2x throughput loss nobody
+                # notices; say it loudly (dataParallel= overrides).
+                print(f"WARNING: using {n_data * opt.modelParallel} of "
+                      f"{len(jax.devices())} devices — batchSize "
+                      f"{opt.batchSize} does not divide the {avail} "
+                      "available data-axis devices; pick a divisible "
+                      "batchSize (or set dataParallel=) to use the machine")
         mesh = parallel.make_mesh(n_data=n_data, n_model=opt.modelParallel)
     key, k_init = jax.random.split(key)
     state = init_train_state(k_init, opt, regime)
@@ -202,8 +210,12 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
         # checkpoint's D/optimizer shapes need not match this run's config
         # (util.load loads a single net, util.lua:99-105).
         g_target = build_for_regime(opt, regime)[0].init(jax.random.PRNGKey(0))
-        init_net = (restore_subtree(opt.initName, g_target[0], ".params_g"),
-                    restore_subtree(opt.initName, g_target[1], ".state_g"))
+        # device_put once: restore_subtree returns numpy trees, and jit
+        # re-transfers numpy args per call — without this every step would
+        # re-upload the whole initializer net.
+        init_net = jax.device_put(
+            (restore_subtree(opt.initName, g_target[0], ".params_g"),
+             restore_subtree(opt.initName, g_target[1], ".state_g")))
 
     preprocess = make_preprocess(opt, regime)
     step_fn = make_train_step(opt, regime, with_init=with_init,
@@ -385,10 +397,14 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
 def main(argv: list[str]) -> None:
     # Multi-host handshake (cluster auto-detect); no-op for a single process.
     distributed.initialize()
-    kv = [a for a in argv if "=" in a]
     regime = "center"
     rest = []
-    for a in kv:
+    for a in argv:
+        if "=" not in a:
+            # Silently dropping a positional token (e.g. a mistyped regime)
+            # would train the wrong model for hours.
+            raise SystemExit(f"expected key=value, got {a!r} "
+                             "(regime=<name> selects the trainer)")
         k, v = a.split("=", 1)
         if k == "regime":
             regime = v

@@ -148,6 +148,14 @@ def make_train_step(opt: Opt, regime: str, with_init: bool = False,
     lam = float(opt.weight_nomask)
 
     if with_init:
+        if regime not in ("video", "video3d"):
+            # The cascade composites netI's prediction INSIDE the mask
+            # (train_mycrit.lua:402-405); only the video trainers define
+            # withInit in the reference (train_mycrit/vid_weighted), and the
+            # other regimes' ctx/mask shapes don't compose.
+            raise ValueError(
+                "withInit requires a video regime (video/video3d), "
+                f"not {regime!r}")
         # G topology for netI; under SP it shares the T-sharded convs so the
         # cascade stays on the same mesh layout.
         init_gen = build_for_regime(opt, regime, sp_mesh=sp_mesh)[0]
