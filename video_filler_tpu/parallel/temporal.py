@@ -229,8 +229,10 @@ def shard_sp_host_batch(mesh: Mesh, batch):
     that replication multiplies the host->device transfer by n_seq)."""
     raw = batch["raw"]
     n_seq = mesh.shape[SEQ_AXIS]
-    assert raw.shape[-1] % n_seq == 0, (
-        f"folded channels {raw.shape[-1]} must divide the seq axis {n_seq}")
+    if raw.shape[-1] % n_seq:
+        raise ValueError(
+            f"folded channels {raw.shape[-1]} must divide the seq axis "
+            f"{n_seq}")
 
     def put(k, x):
         if k == "raw":

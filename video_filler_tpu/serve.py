@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import io
 import json
+import os
 import queue
 import sys
 import threading
@@ -59,7 +60,6 @@ class InpaintServer:
     def __init__(self, opt: Opt, regime: str, net_path: str,
                  host: str = "localhost", port: int = 0,
                  max_delay_ms: float = 5.0, device_thread: bool = True):
-        self.opt = opt
         self.batch = int(opt.batchSize)
         self.fs = int(opt.fineSize)
         if opt.noiseGen:
@@ -250,11 +250,6 @@ class InpaintServer:
                         raise ValueError(
                             f"ctx must be uint8 (B,{fs},{fs},{c}), got "
                             f"{ctx.dtype} {ctx.shape}")
-                    if ctx.shape[0] > server.batch:
-                        raise ValueError(
-                            f"request of {ctx.shape[0]} rows exceeds the "
-                            f"server batch {server.batch} — split "
-                            "client-side")
                     if mask is not None and not server.composable:
                         raise ValueError(
                             "mask compositing needs matching in/out "
@@ -269,6 +264,9 @@ class InpaintServer:
                     return
                 try:
                     out = server.infer(ctx, mask)
+                except ValueError as e:  # client error (e.g. oversize batch)
+                    self._send(400, "text/plain", str(e).encode())
+                    return
                 except Exception as e:
                     self._send(500, "text/plain", str(e).encode())
                     return
@@ -314,8 +312,6 @@ def main(argv: list[str]) -> None:
         raise SystemExit("serve needs net=<checkpoint .npz or .t7>")
     # Persistent compile cache: a server restart skips the generator
     # recompile (the startup cost is otherwise compile-dominated).
-    import os
-
     from video_filler_tpu.utils import host_keyed_cache_dir
     jax.config.update("jax_compilation_cache_dir",
                       host_keyed_cache_dir(os.path.join(

@@ -273,6 +273,18 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
     # triplet becomes wall-clock logging + an optional XLA profiler capture).
     prof_started = prof_done = not opt.profileSteps
 
+    # Host batch -> device arrays: single process uses a plain device_put
+    # with the data sharding (SP: frames land on their own seq devices);
+    # multi-host assembles per-process rows into one global array.
+    if sp_mesh is not None and n_proc == 1:
+        from video_filler_tpu.parallel import temporal
+
+        def to_device(hb):
+            return temporal.shard_sp_host_batch(sp_mesh, hb)
+    else:
+        def to_device(hb):
+            return distributed.global_batch_from_local(mesh, hb)
+
     # Metrics are logged ONE step late: fetching step k's scalars would block
     # on its execution, serializing host and device — step k-1's values are
     # already materialized, so the fetch is free and the device pipeline
@@ -316,18 +328,7 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
                 t0 = time.perf_counter()
                 host_batch = loader.get_batch()
                 t_data = time.perf_counter() - t0
-                # Single process: plain device_put with the data sharding
-                # (SP: frames land on their own seq devices — see
-                # temporal.shard_sp_host_batch).  Multi-host: each host
-                # contributes only its local rows
-                # (jax.make_array_from_process_local_data).
-                if sp_mesh is not None and n_proc == 1:
-                    from video_filler_tpu.parallel import temporal
-                    dev_batch = temporal.shard_sp_host_batch(sp_mesh,
-                                                             host_batch)
-                else:
-                    dev_batch = distributed.global_batch_from_local(
-                        mesh, host_batch)
+                dev_batch = to_device(host_batch)
                 step_seed = np.int64(seed * 1_000_003 + done) % np.int64(2**31)
                 args = (state, dev_batch, np.int32(step_seed)) \
                     + ((init_net,) if with_init else ())
