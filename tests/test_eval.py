@@ -156,3 +156,40 @@ def test_load_generator_returns_device_arrays(tmp_path, rng):
     _, params, bn_state = load_generator(opt, "center", p)
     for leaf in jax.tree.leaves(params) + jax.tree.leaves(bn_state):
         assert isinstance(leaf, jax.Array), type(leaf)
+
+
+def test_export_stablehlo_roundtrip(tmp_path, rng):
+    """jax.export deployment artifact: the serialized generator (weights
+    baked in, uint8 boundary) deserializes and reproduces the live forward
+    bit-exactly; cross-platform lowering produces a tpu+cpu artifact from
+    this CPU host."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jax_export
+
+    from video_filler_tpu.checkpoint import save_checkpoint
+    from video_filler_tpu.eval.common import load_generator
+    from video_filler_tpu.eval.export_hlo import export_generator_hlo
+    from video_filler_tpu.ops import image as image_ops
+    from video_filler_tpu.train import init_train_state
+
+    opt = Opt(predLen=2, batchSize=2, nef=8, ngf=8, ndf=8, nBottleneck=32,
+              computeDtype="float32")
+    state = init_train_state(rng, opt, "video")
+    net = save_checkpoint(str(tmp_path), "hlo", 1, state)
+
+    blob = export_generator_hlo(opt, "video", net, platforms=("cpu",))
+    g = jax_export.deserialize(blob)
+    rs = np.random.RandomState(0)
+    ctx = rs.randint(0, 256, (2, 128, 128, 6), np.uint8)
+    out = np.asarray(g.call(jnp.asarray(ctx)))
+
+    fwd, params, bn = load_generator(opt, "video", net)
+    ref = np.asarray(image_ops.denormalize_to_uint8(
+        fwd(params, bn, image_ops.normalize_uint8(jnp.asarray(ctx)))
+        .astype(jnp.float32)))
+    np.testing.assert_array_equal(out, ref)
+
+    multi = jax_export.deserialize(
+        export_generator_hlo(opt, "video", net, platforms=("tpu", "cpu")))
+    assert multi.platforms == ("tpu", "cpu")
