@@ -191,3 +191,25 @@ def test_sp_host_batch_layout_matches_plain(rng):
     for k in m_ref:
         np.testing.assert_allclose(float(m_ref[k]), float(m_sp[k]),
                                    rtol=1e-4, atol=1e-5, err_msg=k)
+
+
+def test_sp_composes_with_grad_accum(rng):
+    """Sequence parallelism and gradient accumulation are both step-level
+    mechanisms — the scan over microbatches must compose with the
+    shard_map'd halo convs and seq-sharded bottleneck."""
+    opt = Opt(nef=8, ngf=8, ndf=8, nBottleneck=64, predLen=4, batchSize=8,
+              fineSize=32, video3dLevels=3, wtl2=0.999, weight_nomask=0.05,
+              gradAccum=2, computeDtype="float32")
+    mesh = temporal.make_seq_mesh(n_data=2, n_seq=2)
+    state = init_train_state(rng, opt, "video3d")
+    rs = np.random.RandomState(0)
+    batch = {"real": jnp.asarray(
+                 rs.rand(8, 4, 32, 32, 3).astype(np.float32) * 2 - 1),
+             "mask": jnp.zeros((8, 1, 32, 32, 1))
+                        .at[:, :, 8:20, 8:20].set(1.0)}
+    step = temporal.make_sp_train_step(opt, mesh)
+    s2, m = step(temporal.shard_sp_state(mesh, state),
+                 temporal.shard_sp_batch(mesh, batch), jax.random.PRNGKey(1))
+    assert int(s2.step) == 1
+    for k, v in m.items():
+        assert np.isfinite(float(v)), k
