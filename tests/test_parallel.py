@@ -140,3 +140,31 @@ def test_tp_shards_video3d_5d_weights(rng):
     shard0 = up0.sharding.shard_shape(up0.shape)
     assert shard0[-2] == up0.shape[-2] // 4
     assert shard0[:3] == up0.shape[:3] and shard0[-1] == up0.shape[-1]
+
+
+def test_tp_video3d_step_matches_replicated(rng):
+    """TP over the 5-D bottleneck weights must reproduce the replicated
+    video3d step (numerical equivalence, not just sharding layout)."""
+    # levels=5 (input 128^2): the TP rules key on the bottleneck conv's name
+    # (`conv5` = conv{levels}); other level counts fail the rename guard.
+    opt = Opt(nef=8, ngf=8, ndf=8, nBottleneck=64, predLen=2, batchSize=8,
+              fineSize=128, video3dLevels=5, wtl2=0.999, weight_nomask=0.05,
+              computeDtype="float32")
+    state = init_train_state(rng, opt, "video3d")
+    step = jax.jit(make_train_step(opt, "video3d"))
+    rs = np.random.RandomState(0)
+    batch = {"real": jnp.asarray(
+                 rs.rand(8, 2, 128, 128, 3).astype(np.float32) * 2 - 1),
+             "mask": jnp.zeros((8, 1, 128, 128, 1))
+                        .at[:, :, 40:80, 40:80].set(1.0)}
+    key = jax.random.PRNGKey(3)
+    s_ref, m_ref = step(state, batch, key)
+
+    mesh = parallel.make_mesh(n_data=2, n_model=4)
+    s_tp, m_tp = step(parallel.shard_train_state(mesh, state),
+                      parallel.shard_batch(mesh, batch), key)
+    np.testing.assert_allclose(float(m_ref["errG_total"]),
+                               float(m_tp["errG_total"]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(s_ref.params_g),
+                    jax.tree.leaves(s_tp.params_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=4.1e-3)

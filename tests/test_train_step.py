@@ -333,3 +333,15 @@ def test_grad_accum_noise_gen_runs(rng):
     assert int(new_state.step) == 1
     for k, v in metrics.items():
         assert np.isfinite(float(v)), k
+
+
+def test_grad_accum_condition_adv_runs(rng):
+    """conditionAdv's (ctx, pred) discriminator input is rebuilt per
+    microbatch from the split prep — compose with accumulation."""
+    opt = Opt(wtl2=0.0, conditionAdv=True, gradAccum=2, **TINY)
+    state = init_train_state(rng, opt, "center")
+    step = jax.jit(make_train_step(opt, "center"))
+    new_state, metrics = step(state, _center_batch(), jax.random.PRNGKey(4))
+    assert int(new_state.step) == 1
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
