@@ -38,6 +38,12 @@ def test_roundtrip_exact_resume(tmp_path, rng):
     assert meta["regime"] == "center"
     assert int(restored.step) == 1
 
+    # the restored tree is bit-identical to the saved one on EVERY component
+    # (D optimizer and BN running stats don't influence the next G update, so
+    # comparing them directly is the only way they're covered)
+    for la, lb in zip(jax.tree.leaves(restored), jax.tree.leaves(state)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
     # continuing from restored state is bit-identical to continuing original
     k = jax.random.PRNGKey(2)
     a, _ = step(state, _batch(), k)
@@ -116,10 +122,17 @@ def test_bf16_adam_moments_checkpoint_roundtrip(tmp_path, rng):
     from video_filler_tpu.config import Opt
     from video_filler_tpu.train import init_train_state
 
-    opt = Opt(nef=8, ngf=8, ndf=8, nBottleneck=32, adamMomentsBf16=True,
-              computeDtype="float32")
+    opt = Opt(nef=8, ngf=8, ndf=8, nBottleneck=32, batchSize=2,
+              adamMomentsBf16=True, computeDtype="float32")
     state = init_train_state(rng, opt, "center")
+    # step once so the moments are NONZERO — an un-stepped state would make
+    # the value comparison below vacuous (zeros roundtrip under any bug)
+    step = jax.jit(make_train_step(opt, "center"))
+    state, _ = step(state, _batch(), jax.random.PRNGKey(3))
     assert any(l.dtype == jnp.bfloat16 for l in jax.tree.leaves(state.opt_g))
+    assert any(float(jnp.max(jnp.abs(l.astype(jnp.float32)))) > 0
+               for l in jax.tree.leaves(state.opt_g)
+               if hasattr(l, "dtype") and l.dtype == jnp.bfloat16)
     p = save_checkpoint(str(tmp_path), "bf16m", 1, state, meta={})
     target = init_train_state(jax.random.PRNGKey(1), opt, "center")
     restored, _ = restore_checkpoint(p, target)

@@ -64,13 +64,26 @@ def test_two_process_training_matches_single(tmp_path):
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
+    # stdout to FILES, not PIPE: sequential communicate() on coordinated
+    # workers can deadlock if the un-drained worker fills its pipe buffer
+    # and stops participating in the collectives.
+    logs = [open(tmp_path / f"w{i}.log", "w") for i in range(2)]
     procs = [subprocess.Popen(
         [sys.executable, worker, str(i), str(port), str(tmp_path / "data"),
          str(tmp_path / f"out{i}.npz")],
         cwd=str(tmp_path), env=env,
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        stdout=logs[i], stderr=subprocess.STDOUT, text=True)
         for i in range(2)]
-    outs = [p.communicate(timeout=900)[0] for p in procs]
+    try:
+        for p in procs:
+            p.wait(timeout=900)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()  # don't leak a worker past a timeout failure
+        for lf in logs:
+            lf.close()
+    outs = [(tmp_path / f"w{i}.log").read_text() for i in range(2)]
     for p, o in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{o[-3000:]}"
 
@@ -127,13 +140,23 @@ def test_two_process_resume_desync_aborts_both(tmp_path):
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
+    logs = [open(tmp_path / f"d{i}.log", "w") for i in range(2)]
     procs = [subprocess.Popen(
         [sys.executable, worker, str(i), str(port), str(tmp_path / "data"),
          "unused", "desync"],
         cwd=str(tmp_path / f"p{i}"), env=env,
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        stdout=logs[i], stderr=subprocess.STDOUT, text=True)
         for i in range(2)]
-    outs = [p.communicate(timeout=900)[0] for p in procs]
+    try:
+        for p in procs:
+            p.wait(timeout=900)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()  # don't leak a worker past a timeout failure
+        for lf in logs:
+            lf.close()
+    outs = [(tmp_path / f"d{i}.log").read_text() for i in range(2)]
     for p, o in zip(procs, outs):
         assert p.returncode == 0, f"worker failed unexpectedly:\n{o[-3000:]}"
         assert "desync detected as expected" in o

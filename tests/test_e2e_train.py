@@ -148,6 +148,8 @@ def test_video3d_sequence_parallel_e2e(video_root, tmp_path, monkeypatch):
 def test_halt_on_nonfinite_loss(image_root, tmp_path, monkeypatch):
     """Divergence detection: a NaN loss halts with a clear error (instead of
     silently training on NaNs); haltOnNonFinite=0 pushes through."""
+    import jax.numpy as jnp
+
     import video_filler_tpu.train.loop as loop_mod
     from video_filler_tpu.train.step import make_train_step as real_mts
 
@@ -162,7 +164,6 @@ def test_halt_on_nonfinite_loss(image_root, tmp_path, monkeypatch):
 
     monkeypatch.chdir(tmp_path)
     monkeypatch.setattr(loop_mod, "make_train_step", poisoned_mts)
-    import jax.numpy as jnp
     opt = Opt(DATA_ROOT=image_root, loadSize=140, wtl2=0.999, **TINY)
     with pytest.raises(RuntimeError, match="diverged"):
         train(opt, "center", quiet=True)
@@ -190,14 +191,14 @@ def test_dashboard_serves_metrics_and_grids(tmp_path, monkeypatch):
     d = Dashboard("dash", port=0)  # ephemeral port
     try:
         base = f"http://localhost:{d.port}"
-        html = urllib.request.urlopen(f"{base}/").read().decode()
+        html = urllib.request.urlopen(f"{base}/", timeout=10).read().decode()
         assert "dash" in html and "canvas" in html
         ms = _json.loads(urllib.request.urlopen(
-            f"{base}/metrics?n=3").read())
+            f"{base}/metrics?n=3", timeout=10).read())
         assert len(ms) == 3 and ms[-1]["step"] == 4
-        imgs = _json.loads(urllib.request.urlopen(f"{base}/imgs").read())
+        imgs = _json.loads(urllib.request.urlopen(f"{base}/imgs", timeout=10).read())
         assert imgs == ["dash_e1_s1_fake.png"]
-        png = urllib.request.urlopen(f"{base}/img/{imgs[0]}").read()
+        png = urllib.request.urlopen(f"{base}/img/{imgs[0]}", timeout=10).read()
         assert png[:8] == b"\x89PNG\r\n\x1a\n"
     finally:
         d.close()

@@ -23,17 +23,20 @@ TINY = dict(nef=8, ngf=8, ndf=8, nBottleneck=32, batchSize=2, nThreads=0,
 @pytest.fixture(scope="module")
 def center_setup(tmp_path_factory):
     """Image folder + a 1-epoch center checkpoint."""
+    old_cwd = os.getcwd()
     work = tmp_path_factory.mktemp("center")
     os.chdir(work)
     root = synthetic.make_image_folder(str(work / "data"), n=4, h=150, w=180)
     opt = Opt(DATA_ROOT=root, loadSize=140, wtl2=0.999, overlapPred=4,
               name="ce", **TINY)
     train(opt, "center", quiet=True)
-    return opt.replace(net="checkpoints/ce_1_state.npz"), str(work)
+    yield opt.replace(net="checkpoints/ce_1_state.npz"), str(work)
+    os.chdir(old_cwd)  # don't leak a tmp cwd past this module
 
 
 @pytest.fixture(scope="module")
 def video_setup(tmp_path_factory):
+    old_cwd = os.getcwd()
     work = tmp_path_factory.mktemp("video")
     os.chdir(work)
     root = synthetic.make_video_corpus(str(work / "data"), n_videos=2,
@@ -42,7 +45,8 @@ def video_setup(tmp_path_factory):
     opt = Opt(DATA_ROOT=root, loadSize=150, predLen=2, wtl2=0.999,
               weight_nomask=0.05, maskName=mask, name="vid", **TINY)
     train(opt, "video", quiet=True)
-    return opt.replace(net="checkpoints/vid_1_state.npz"), str(work)
+    yield opt.replace(net="checkpoints/vid_1_state.npz"), str(work)
+    os.chdir(old_cwd)
 
 
 def test_demo(center_setup, tmp_path):
@@ -82,8 +86,12 @@ def test_test_vid(video_setup, tmp_path):
     assert out["fake"].shape == (4, 128, 128, 3)
     assert os.path.exists(tmp_path / "vid/pred_1.png")
     assert os.path.exists(str(tmp_path / "vid") + "_result.gif")
-    # composite: outside the mask, inpainted == gt context (not prediction)
-    assert out["inpainted"].shape == out["fake"].shape
+    # composite: inside the mask, inpainted == the prediction; outside it
+    # equals the context frames (which equal gt there) — not the prediction
+    inp, fake, ctx = out["inpainted"], out["fake"], out["ctx"]
+    outside = inp != fake                    # composite overrode G here
+    assert outside.any(), "mask composite had no effect"
+    np.testing.assert_array_equal(inp[outside], ctx[outside])
 
 
 def test_wholeim_tiled(video_setup, tmp_path):

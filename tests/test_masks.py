@@ -92,8 +92,11 @@ def test_random_block_mask_properties(rng):
     # each sample has at least 1 block's worth (overlaps allowed) and bounded
     assert (frac * h * w >= bs * bs - 1).all()
     assert (frac * h * w <= 10 * bs * bs).all()
-    # blocks keep away from borders (Lua [3, dim-bs-2] 1-based)
+    # blocks keep away from ALL borders (Lua [3, dim-bs-2] 1-based): start
+    # in [2, dim-bs-3] 0-based, so both the first AND last 2 rows/cols stay
+    # clear — an off-by-one on the upper bound would touch bottom/right.
     assert m_np[:, :2, :, :].sum() == 0 and m_np[:, :, :2, :].sum() == 0
+    assert m_np[:, -2:, :, :].sum() == 0 and m_np[:, :, -2:, :].sum() == 0
 
 
 def test_mask_or_random_block_fallback(rng):

@@ -22,8 +22,8 @@ def _post(port: int, **arrays) -> np.ndarray:
     np.savez(buf, **arrays)
     req = urllib.request.Request(f"http://localhost:{port}/inpaint",
                                  data=buf.getvalue(), method="POST")
-    with np.load(io.BytesIO(urllib.request.urlopen(req).read()),
-                 allow_pickle=False) as data:
+    with np.load(io.BytesIO(urllib.request.urlopen(req, timeout=60)
+                            .read()), allow_pickle=False) as data:
         return data["out"]
 
 
@@ -102,7 +102,7 @@ def test_serve_batched_request_and_errors(video_server):
     assert e.value.code == 400  # exceeds server batch
 
     health = urllib.request.urlopen(
-        f"http://localhost:{srv.port}/healthz").read()
+        f"http://localhost:{srv.port}/healthz", timeout=10).read()
     assert health == b"ok"
 
 

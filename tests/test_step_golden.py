@@ -68,54 +68,12 @@ def test_full_step_gradients_match_torch(rng):
     tg, td = _torch_generator(), _torch_discriminator()
     tg.train(), td.train()
 
-    # ---- import torch weights into our pytrees
+    # ---- import torch weights into our pytrees (shared mapping helper —
+    # this is the single definition of the layout convention being pinned)
     gen, disc = build_for_regime(opt, "center")
-    gp, gs = gen.init(rng)
-    dp, ds = disc.init(jax.random.PRNGKey(1))
-
-    # Enumerate our conv/bn leaves in forward order via the known structure
-    # and the torch module order.
-    tconvs = [m for m in tg if isinstance(m, (nn.Conv2d, nn.ConvTranspose2d))]
-    tbns = [m for m in tg if isinstance(m, nn.BatchNorm2d)]
+    gp, gs, dp, ds = _share_weights_into(tg, td, gen, disc, rng)
     enc_names = [f"conv{i}" for i in range(6)]
     dec_names = [f"up{i}" for i in range(5)]
-    for i, name in enumerate(enc_names):
-        w = tconvs[i].weight.detach().numpy().transpose(2, 3, 1, 0)
-        gp["enc"][name]["w"] = jnp.asarray(w)
-    for i, name in enumerate(dec_names):
-        w = tconvs[6 + i].weight.detach().numpy().transpose(2, 3, 0, 1)
-        gp["dec"][name]["w"] = jnp.asarray(w)
-    enc_bn_names = [f"bn{i}" for i in range(1, 5)]
-    for i, name in enumerate(enc_bn_names):
-        m = tbns[i]
-        gp["enc"][name] = {"gamma": jnp.asarray(m.weight.detach().numpy()),
-                           "beta": jnp.asarray(m.bias.detach().numpy())}
-        gs["enc"][name] = {"mean": jnp.asarray(m.running_mean.numpy()),
-                           "var": jnp.asarray(m.running_var.numpy())}
-    m = tbns[4]
-    gp["bott_bn"] = {"gamma": jnp.asarray(m.weight.detach().numpy()),
-                     "beta": jnp.asarray(m.bias.detach().numpy())}
-    gs["bott_bn"] = {"mean": jnp.asarray(m.running_mean.numpy()),
-                     "var": jnp.asarray(m.running_var.numpy())}
-    dec_bn_names = [f"bn{i}" for i in range(4)]
-    for i, name in enumerate(dec_bn_names):
-        m = tbns[5 + i]
-        gp["dec"][name] = {"gamma": jnp.asarray(m.weight.detach().numpy()),
-                           "beta": jnp.asarray(m.bias.detach().numpy())}
-        gs["dec"][name] = {"mean": jnp.asarray(m.running_mean.numpy()),
-                           "var": jnp.asarray(m.running_var.numpy())}
-
-    dconvs = [m for m in td if isinstance(m, nn.Conv2d)]
-    dbns = [m for m in td if isinstance(m, nn.BatchNorm2d)]
-    for i, name in enumerate([f"conv{i}" for i in range(1, 6)]):
-        w = dconvs[i].weight.detach().numpy().transpose(2, 3, 1, 0)
-        dp[name]["w"] = jnp.asarray(w)
-    for i, name in enumerate([f"bn{i}" for i in range(2, 5)]):
-        m = dbns[i]
-        dp[name] = {"gamma": jnp.asarray(m.weight.detach().numpy()),
-                    "beta": jnp.asarray(m.bias.detach().numpy())}
-        ds[name] = {"mean": jnp.asarray(m.running_mean.numpy()),
-                    "var": jnp.asarray(m.running_var.numpy())}
 
     # ---- shared batch
     rs = np.random.RandomState(3)
@@ -204,44 +162,10 @@ def test_bn_running_stats_match_torch_after_step(rng):
     tg.train(), td.train()
 
     gen, disc = build_for_regime(opt, "center")
-    gp, gs = gen.init(rng)
-    dp, ds = disc.init(jax.random.PRNGKey(1))
-
-    # share D weights/stats (G state checked implicitly through D's inputs
-    # only if G matched too — share both like the gradient golden)
-    tconvs = [m for m in tg if isinstance(m, (nn.Conv2d, nn.ConvTranspose2d))]
+    # share BOTH nets' weights/stats via the single mapping helper
+    gp, gs, dp, ds = _share_weights_into(tg, td, gen, disc, rng)
     tbns = [m for m in tg if isinstance(m, nn.BatchNorm2d)]
-    for i, name in enumerate([f"conv{i}" for i in range(6)]):
-        gp["enc"][name]["w"] = jnp.asarray(
-            tconvs[i].weight.detach().numpy().transpose(2, 3, 1, 0))
-    for i, name in enumerate([f"up{i}" for i in range(5)]):
-        gp["dec"][name]["w"] = jnp.asarray(
-            tconvs[6 + i].weight.detach().numpy().transpose(2, 3, 0, 1))
-    for idx, (scope, name) in enumerate(
-            [("enc", f"bn{i}") for i in range(1, 5)] + [(None, "bott_bn")]
-            + [("dec", f"bn{i}") for i in range(4)]):
-        m = tbns[idx]
-        tree_p = gp[scope] if scope else gp
-        tree_s = gs[scope] if scope else gs
-        entry_p = {"gamma": jnp.asarray(m.weight.detach().numpy()),
-                   "beta": jnp.asarray(m.bias.detach().numpy())}
-        entry_s = {"mean": jnp.asarray(m.running_mean.numpy()),
-                   "var": jnp.asarray(m.running_var.numpy())}
-        if scope:
-            tree_p[name], tree_s[name] = entry_p, entry_s
-        else:
-            gp[name], gs[name] = entry_p, entry_s
-    dconvs = [m for m in td if isinstance(m, nn.Conv2d)]
     dbns = [m for m in td if isinstance(m, nn.BatchNorm2d)]
-    for i, name in enumerate([f"conv{i}" for i in range(1, 6)]):
-        dp[name]["w"] = jnp.asarray(
-            dconvs[i].weight.detach().numpy().transpose(2, 3, 1, 0))
-    for i, name in enumerate([f"bn{i}" for i in range(2, 5)]):
-        m = dbns[i]
-        dp[name] = {"gamma": jnp.asarray(m.weight.detach().numpy()),
-                    "beta": jnp.asarray(m.bias.detach().numpy())}
-        ds[name] = {"mean": jnp.asarray(m.running_mean.numpy()),
-                    "var": jnp.asarray(m.running_var.numpy())}
 
     rs = np.random.RandomState(7)
     real = rs.rand(2, 128, 128, 3).astype(np.float32) * 2 - 1

@@ -261,7 +261,6 @@ def test_adam_moments_bf16_flag_trains():
     s_bf = init_train_state(jax.random.PRNGKey(5), opt_bf, "center")
     step_bf = jax.jit(make_train_step(opt_bf, "center"))
 
-    mu = jax.tree.leaves(s_bf.opt_g)[0]
     assert any(l.dtype == jnp.bfloat16 for l in jax.tree.leaves(s_bf.opt_g))
 
     s1, m1 = step_f32(s_f32, batch, key)

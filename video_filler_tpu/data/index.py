@@ -55,8 +55,11 @@ class FolderIndex:
         self.class_files: dict[str, list[str]] = {}
         cache = _cache_path(root, "index")
         if use_cache and os.path.exists(cache):
-            with open(cache) as f:
-                data = json.load(f)
+            try:
+                with open(cache) as f:
+                    data = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                data = {}  # concurrent writer / corrupt cache: rescan below
             if data.get("mtime") == os.path.getmtime(root):
                 self.classes = data["classes"]
                 self.class_files = data["files"]
@@ -75,10 +78,14 @@ class FolderIndex:
             self.classes = [c for c in self.classes if c in self.class_files]
             if use_cache:
                 os.makedirs("cache", exist_ok=True)
-                with open(cache, "w") as f:
+                # Atomic write: multi-host processes share the cache dir, so
+                # a reader must never see a half-written file.
+                tmp = f"{cache}.{os.getpid()}.tmp"
+                with open(tmp, "w") as f:
                     json.dump({"mtime": os.path.getmtime(root),
                                "classes": self.classes,
                                "files": self.class_files}, f)
+                os.replace(tmp, cache)
         if not self.classes:
             raise FileNotFoundError(f"no images under {root}")
         # train/test split per class (data/dataset.lua:263-309)
