@@ -19,10 +19,12 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compilation cache: XLA-CPU conv compiles dominate suite time
 # (cold conv3d backward compiles run tens of minutes); cache hits make reruns
-# near-instant.  Repo-local so it survives across sessions.
-_cache_dir = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), ".jax_cache")
-os.makedirs(_cache_dir, exist_ok=True)
+# near-instant.  Repo-local so it survives across sessions; keyed by CPU
+# identity so entries AOT-compiled on another machine can't SIGILL here.
+from video_filler_tpu.utils import host_keyed_cache_dir  # noqa: E402
+
+_cache_dir = host_keyed_cache_dir(os.path.join(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 assert jax.devices()[0].platform == "cpu", "tests must run on CPU devices"
