@@ -40,8 +40,11 @@ def main() -> None:
     preprocess = make_preprocess(opt, "center")
     train_step = make_train_step(opt, "center")
 
-    def _fused(state, raw, key):
-        k_prep, k_step = jax.random.split(key)
+    def _fused(state, raw, step_seed):
+        # Keys derive INSIDE the jit from a host integer — an eager
+        # jax.random.split per step is a device round-trip (the loop's
+        # invariant, train/loop.py; CLAUDE.md).
+        k_prep, k_step = jax.random.split(jax.random.PRNGKey(step_seed))
         batch = preprocess({"raw": raw}, k_prep)
         return train_step(state, batch, k_step)
 
@@ -50,21 +53,18 @@ def main() -> None:
     rs = np.random.RandomState(0)
     raw = jnp.asarray(rs.randint(0, 256, (opt.batchSize, 128, 128, 3),
                                  dtype=np.uint8))
-    key = jax.random.PRNGKey(1)
 
     # warmup (compile + stabilize); the scalar fetch forces real completion —
     # on the axon remote backend block_until_ready alone does NOT wait for
     # remote execution, so timing must end with a value materialization.
     for i in range(3):
-        key, sub = jax.random.split(key)
-        state, metrics = fused(state, raw, sub)
+        state, metrics = fused(state, raw, np.int32(i))
     float(metrics["errD"])
 
     iters = 100
     t0 = time.perf_counter()
     for i in range(iters):
-        key, sub = jax.random.split(key)
-        state, metrics = fused(state, raw, sub)
+        state, metrics = fused(state, raw, np.int32(100 + i))
     # steps chain through the donated state, so execution is serial; this one
     # fetch flushes the entire chain.
     float(metrics["errD"])

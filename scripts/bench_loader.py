@@ -43,8 +43,12 @@ def main() -> None:
         sampler, _ = make_sampler(opt, "video")
         with DataLoader(sampler, opt.nThreads, seed=1) as loader:
             loader.get_batch()  # warm the queue/workers
+            # Timed pops must EXCEED the pipeline's in-flight capacity
+            # (workers + queue), else the measurement drains batches that
+            # were already produced before t0 and reads several-fold fast.
+            in_flight = max(threads, 1) * 3 + 2
+            nb = max(n // batch, in_flight * 2)
             t0 = time.perf_counter()
-            nb = max(n // batch, 2)
             for _ in range(nb):
                 loader.get_batch()
             dt = time.perf_counter() - t0

@@ -17,8 +17,10 @@ import os
 
 def plan(root: str, strip_prefix: str | None,
          dedupe_suffixes: list[str]) -> list[tuple[str, str]]:
+    existing = set(os.listdir(root))
     out = []
-    for name in sorted(os.listdir(root)):
+    targets: dict[str, str] = {}
+    for name in sorted(existing):
         new = name
         if strip_prefix and new.startswith(strip_prefix):
             new = new[len(strip_prefix):]
@@ -26,8 +28,18 @@ def plan(root: str, strip_prefix: str | None,
             doubled = suf + suf
             if doubled in new:
                 new = new.replace(doubled, suf)
-        if new != name:
-            out.append((name, new))
+        if new == name:
+            continue
+        # POSIX os.rename silently REPLACES an existing target — refuse any
+        # plan that would clobber a file or map two sources to one target.
+        if new in existing and new not in (o for o, _ in out):
+            raise SystemExit(
+                f"refusing: {name} -> {new} would overwrite an existing file")
+        if new in targets:
+            raise SystemExit(
+                f"refusing: both {targets[new]} and {name} map to {new}")
+        targets[new] = name
+        out.append((name, new))
     return out
 
 

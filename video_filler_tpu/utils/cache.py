@@ -12,16 +12,20 @@ import hashlib
 import os
 
 
-def host_keyed_cache_dir(base: str) -> str:
-    """``base/<cpu-fingerprint>``, created; fingerprint = model name + flags
-    from /proc/cpuinfo (stable across boots, distinct across machine types)."""
+def host_tag() -> str:
+    """CPU fingerprint: model name + flags from /proc/cpuinfo (stable across
+    boots, distinct across machine types)."""
     try:
         with open("/proc/cpuinfo") as f:
             ident = [ln for ln in f if ln.startswith(("model name", "flags"))]
-        tag = hashlib.sha1(
+        return hashlib.sha1(
             "".join(sorted(set(ident))).encode()).hexdigest()[:12]
     except OSError:
-        tag = "default"
-    path = os.path.join(base, tag)
+        return "default"
+
+
+def host_keyed_cache_dir(base: str) -> str:
+    """``base/<cpu-fingerprint>``, created."""
+    path = os.path.join(base, host_tag())
     os.makedirs(path, exist_ok=True)
     return path
