@@ -231,3 +231,26 @@ def test_video_sampler_upscales_small_frames(tmp_path):
     assert batch["raw"].any()  # fallback filled real pixels, not zeros
     if native.available():  # exercised the native->Python per-clip fallback
         assert True
+
+
+def test_corrupt_corpus_fails_loudly(tmp_path):
+    """A genuinely corrupt frame must stop the run with an error naming the
+    file (native path falls back per clip to Python decode, which raises) —
+    never a hang, never a silent zero-clip in the batch."""
+    import pytest
+
+    from video_filler_tpu.data.pipeline import load_mask
+    from video_filler_tpu.data.synthetic import make_mask_png, make_video_corpus
+
+    root = tmp_path / "c"
+    make_video_corpus(str(root), n_videos=1, frames=4, h=180, w=240)
+    make_mask_png(str(root / "mask.png"), h=180, w=240)
+    for p in sorted(os.listdir(root / "gt")):
+        (root / "gt" / p).write_bytes(b"garbage")
+
+    opt = Opt(DATA_ROOT=str(root), loadSize=150, predLen=2, batchSize=2,
+              nThreads=0)
+    corpus = VideoCorpus(str(root))
+    mask = load_mask(str(root / "mask.png"))
+    with pytest.raises(OSError, match="decode"):
+        video_sampler(opt, corpus, mask)(np.random.RandomState(0))
