@@ -254,3 +254,23 @@ def test_corrupt_corpus_fails_loudly(tmp_path):
     mask = load_mask(str(root / "mask.png"))
     with pytest.raises(OSError, match="decode"):
         video_sampler(opt, corpus, mask)(np.random.RandomState(0))
+
+
+def test_eval_split_wiring(image_root):
+    """make_sampler split= draws from the held-out portion: sizes reflect
+    the split, an empty test split errors clearly, and non-center regimes
+    reject a test split (no split exists there, like the reference)."""
+    opt = Opt(batchSize=2, loadSize=140, DATA_ROOT=image_root, split=50)
+    s_tr, n_tr = make_sampler(opt, "center", split="train")
+    s_te, n_te = make_sampler(opt, "center", split="test")
+    assert n_tr == 3 and n_te == 3
+    assert s_te(np.random.RandomState(0))["raw"].shape == (2, 128, 128, 3)
+
+    opt100 = Opt(batchSize=2, loadSize=140, DATA_ROOT=image_root)
+    s_bad, n_bad = make_sampler(opt100, "center", split="test")
+    assert n_bad == 0
+    with pytest.raises(ValueError, match="split is empty"):
+        s_bad(np.random.RandomState(0))
+
+    with pytest.raises(ValueError, match="only available for the center"):
+        make_sampler(opt, "logo", split="test")

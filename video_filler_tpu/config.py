@@ -64,6 +64,9 @@ class Opt:
                                  # happen regardless
     name: str = "train1"
     manualSeed: int = 0
+    split: int = 100             # train percentage of the folder dataset
+                                 # (dataset.lua:48; the reference's donkey
+                                 # hardcodes 100 — all data trains)
 
     # --- extra options (train.lua:29-33) ---
     conditionAdv: bool = False
@@ -134,6 +137,11 @@ class Opt:
     serveMaxDelayMs: float = 5.0     # serve.py dynamic batching: max wait to
                                      # fill a batch before running a partial
                                      # one (latency bound under low load)
+    evalSplit: str = "train"         # eval/metrics data split: "test" gives
+                                     # honest held-out metrics on the center
+                                     # regime's folder dataset (needs
+                                     # split<100; the video corpus has no
+                                     # split, matching the reference)
     checkpointEvery: int = 20        # epochs (train.lua:460; wholeim uses 2)
     checkpointDir: str = "checkpoints"
     keepCheckpoints: int = 0         # >0: after each save, delete this run's

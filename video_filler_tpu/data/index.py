@@ -108,6 +108,10 @@ class FolderIndex:
         """Uniform class then uniform image (data/dataset.lua:351-364)."""
         files = self.train_files if split == "train" else self.test_files
         classes = [c for c in self.classes if files[c]]
+        if not classes:
+            raise ValueError(
+                f"the {split!r} split is empty — construct the index with "
+                "split < 100 to reserve held-out data (dataset.lua:48)")
         out = []
         for _ in range(n):
             c = classes[rs.randint(len(classes))]

@@ -50,11 +50,14 @@ def _random_crop_hw(rs, h, w, ch, cw):
     return y, x
 
 
-def center_sampler(opt: Opt, index: FolderIndex) -> Callable:
+def center_sampler(opt: Opt, index: FolderIndex,
+                   split: str = "train") -> Callable:
     """Random image → short-side resize → random fineSize crop; uint8 out.
 
     Uses the native C++ parallel decode path (data/native.py) when available,
-    falling back per-image to Python for files the native decoder rejects."""
+    falling back per-image to Python for files the native decoder rejects.
+    `split` selects the folder dataset's train/test portion (training always
+    uses "train"; eval can hold out via Opt.split/evalSplit)."""
     fs = opt.fineSize
     use_native = _use_native(opt)
 
@@ -68,7 +71,7 @@ def center_sampler(opt: Opt, index: FolderIndex) -> Callable:
         return img[y:y + fs, x:x + fs]
 
     def sample(rs: np.random.RandomState) -> Batch:
-        paths = index.sample(rs, opt.batchSize)
+        paths = index.sample(rs, opt.batchSize, split=split)
         if use_native:
             seeds = rs.randint(1, 2**63, size=opt.batchSize, dtype=np.uint64)
             out, offs, fails = native.load_clips([[p] for p in paths],
@@ -285,11 +288,19 @@ def wholeim_sampler(opt: Opt, corpus: VideoCorpus,
     return sample
 
 
-def make_sampler(opt: Opt, regime: str):
-    """Build (sampler, dataset_size) for a regime from the Opt's data roots."""
+def make_sampler(opt: Opt, regime: str, split: str = "train"):
+    """Build (sampler, dataset_size) for a regime from the Opt's data roots.
+
+    `split`: which portion of the folder dataset to draw from (center regime
+    only — the paired/video datasets have no split, like the reference)."""
     if regime == "center":
-        index = FolderIndex(opt.DATA_ROOT)
-        return center_sampler(opt, index), index.size()
+        index = FolderIndex(opt.DATA_ROOT, split=opt.split)
+        return center_sampler(opt, index, split=split), index.size(split)
+    if split != "train":
+        raise ValueError(
+            "evalSplit='test' is only available for the center regime's "
+            "folder dataset; the paired/video corpora have no split "
+            "(matching the reference)")
     if regime == "logo":
         paired = PairedIndex(opt.DATA_ROOT, opt.DATA_ROOT_GT)
         return logo_sampler(opt, paired), paired.size()

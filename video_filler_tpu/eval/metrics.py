@@ -45,8 +45,12 @@ def _prepare(opt: Opt, regime: str, batch):
 def evaluate(opt: Opt, regime: str, n_batches: int = 8,
              seed: int = 222) -> dict:
     """Reconstruction quality of `opt.net` over `n_batches` sampled batches:
-    full-frame and hole-only L2 + PSNR (range 2.0, [-1,1] images)."""
-    sampler, _ = make_sampler(opt, regime)
+    full-frame and hole-only L2 + PSNR (range 2.0, [-1,1] images).
+
+    Draws from Opt.evalSplit ("test" + split<100 for held-out metrics on the
+    center regime's folder dataset; default "train" matches the reference's
+    test scripts, which sample the training pump)."""
+    sampler, _ = make_sampler(opt, regime, split=opt.evalSplit)
     preprocess = make_preprocess(opt, regime)
     forward, params, bn_state = load_generator(opt, regime, opt.net)
     rs = np.random.RandomState(seed)
