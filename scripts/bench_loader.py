@@ -43,16 +43,17 @@ def main() -> None:
         sampler, _ = make_sampler(opt, "video")
         with DataLoader(sampler, opt.nThreads, seed=1) as loader:
             loader.get_batch()  # warm the queue/workers
-            # Timed pops must EXCEED the pipeline's in-flight capacity
-            # (workers + queue), else the measurement drains batches that
-            # were already produced before t0 and reads several-fold fast.
-            in_flight = max(threads, 1) * 3 + 2
-            nb = max(n // batch, in_flight * 2)
+            # Pops that drain batches produced BEFORE t0 (up to the pipeline's
+            # in-flight capacity: queued + in worker hands) are free and would
+            # inflate the rate; time a fixed window and exclude that credit.
+            in_flight = max(threads, 1) * 3
             t0 = time.perf_counter()
-            for _ in range(nb):
+            nb = 0
+            while (time.perf_counter() - t0) < 20.0 or nb <= in_flight * 2:
                 loader.get_batch()
+                nb += 1
             dt = time.perf_counter() - t0
-        clips = nb * batch / dt
+        clips = max(nb - in_flight, 1) * batch / dt
         cores = os.cpu_count() or 1
         print(f"{'native C++' if native else 'pure python'}: "
               f"{clips:,.0f} clips/s = {clips * opt.predLen:,.0f} frames "

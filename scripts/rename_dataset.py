@@ -20,6 +20,7 @@ def plan(root: str, strip_prefix: str | None,
     existing = set(os.listdir(root))
     out = []
     targets: dict[str, str] = {}
+    planned_sources: set[str] = set()
     for name in sorted(existing):
         new = name
         if strip_prefix and new.startswith(strip_prefix):
@@ -32,13 +33,14 @@ def plan(root: str, strip_prefix: str | None,
             continue
         # POSIX os.rename silently REPLACES an existing target — refuse any
         # plan that would clobber a file or map two sources to one target.
-        if new in existing and new not in (o for o, _ in out):
+        if new in existing and new not in planned_sources:
             raise SystemExit(
                 f"refusing: {name} -> {new} would overwrite an existing file")
         if new in targets:
             raise SystemExit(
                 f"refusing: both {targets[new]} and {name} map to {new}")
         targets[new] = name
+        planned_sources.add(name)
         out.append((name, new))
     return out
 

@@ -220,7 +220,6 @@ def test_video_sampler_upscales_small_frames(tmp_path):
     the image donkey) instead of crashing — on BOTH decode paths: the native
     loader rejects undersized clips and the sampler falls back to the Python
     path per clip, so native availability never changes which configs work."""
-    import video_filler_tpu.data.native as native
     from video_filler_tpu.data.synthetic import make_video_corpus
 
     make_video_corpus(str(tmp_path / "c"), n_videos=1, frames=6, h=50, w=60)
@@ -229,8 +228,6 @@ def test_video_sampler_upscales_small_frames(tmp_path):
     batch = video_sampler(opt, corpus, None)(np.random.RandomState(0))
     assert batch["raw"].shape == (2, 128, 128, 6)
     assert batch["raw"].any()  # fallback filled real pixels, not zeros
-    if native.available():  # exercised the native->Python per-clip fallback
-        assert True
 
 
 def test_corrupt_corpus_fails_loudly(tmp_path):
@@ -245,8 +242,11 @@ def test_corrupt_corpus_fails_loudly(tmp_path):
     root = tmp_path / "c"
     make_video_corpus(str(root), n_videos=1, frames=4, h=180, w=240)
     make_mask_png(str(root / "mask.png"), h=180, w=240)
-    for p in sorted(os.listdir(root / "gt")):
-        (root / "gt" / p).write_bytes(b"garbage")
+    for variant in ("gt", "gt1"):  # BOTH variant dirs, else a lucky gt1
+        if not (root / variant).is_dir():  # draw could dodge the corruption
+            continue
+        for p in sorted(os.listdir(root / variant)):
+            (root / variant / p).write_bytes(b"garbage")
 
     opt = Opt(DATA_ROOT=str(root), loadSize=150, predLen=2, batchSize=2,
               nThreads=0)

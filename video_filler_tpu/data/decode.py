@@ -34,8 +34,13 @@ def decode_image(path: str, nc: int = 3) -> np.ndarray:
         else:
             img = img[..., None]
         return img
-    img = Image.open(path)
-    img = img.convert("RGB" if nc == 3 else "L")
+    try:
+        img = Image.open(path)
+        img = img.convert("RGB" if nc == 3 else "L")
+    except Exception as e:
+        # Same error contract as the cv2 branch: an IOError naming the file
+        # (PIL's UnidentifiedImageError message doesn't say "decode").
+        raise IOError(f"failed to decode {path}") from e
     arr = np.asarray(img, np.uint8)
     if arr.ndim == 2:
         arr = arr[..., None]

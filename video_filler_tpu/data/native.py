@@ -49,11 +49,16 @@ def _load() -> ctypes.CDLL | None:
             return _lib
         if not _so_is_current():
             try:
+                # build.sh compiles to a temp name and atomically renames, so
+                # concurrent builders can't expose a half-written .so; the
+                # provenance file is likewise written via rename.
                 subprocess.run(["sh", os.path.join(_NATIVE_DIR, "build.sh")],
                                check=True, capture_output=True, timeout=120)
                 from video_filler_tpu.utils.cache import host_tag
-                with open(_SO_PATH + ".host", "w") as f:
+                tag_tmp = f"{_SO_PATH}.host.{os.getpid()}.tmp"
+                with open(tag_tmp, "w") as f:
                     f.write(host_tag())
+                os.replace(tag_tmp, _SO_PATH + ".host")
             except Exception:
                 _build_failed = True
                 return None

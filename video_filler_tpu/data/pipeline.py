@@ -156,17 +156,22 @@ def video_sampler(opt: Opt, corpus: VideoCorpus,
             for j, i in enumerate(pending):
                 if offs[j, 2] == 0:  # per-clip failure flag (decode error,
                     # short side < crop, or mismatched frame sizes — the
-                    # native side zeroes rh for every failure mode).  Fall
-                    # back to the Python path for THIS clip: it upscales
-                    # undersized frames (like the image donkey) and raises a
-                    # descriptive error itself on genuinely corrupt files —
-                    # native availability must not change which configs work.
+                    # native side zeroes rh for every failure mode).  Python-
+                    # decode THIS clip: it upscales undersized frames (like
+                    # the image donkey) and raises a descriptive error naming
+                    # the file on genuinely corrupt data — native
+                    # availability must not change which configs work OR
+                    # silently skip bad files by redrawing.
                     if not fallback_warned[0]:
                         fallback_warned[0] = True
                         print("vf_native: clip rejected (undersized/"
                               f"mismatched/corrupt: {clips[j][0]} ...); "
                               "falling back to Python decode for such clips")
-                    raw[i], msk[i] = sample_one(rs)
+                    r = _python_clip(rs, clips[j])
+                    if r is None:
+                        still.append(i)  # dark crop: redraw like any other
+                    else:
+                        raw[i], msk[i] = r
                     continue
                 if out[j].mean() < 0.1 * 255 and rs.rand() <= 0.95:
                     still.append(i)  # dark-crop rejection: redraw
@@ -177,33 +182,31 @@ def video_sampler(opt: Opt, corpus: VideoCorpus,
             pending = still
         return {"raw": raw, "mask": msk}
 
+    def _python_clip(rs, paths):
+        """Decode + crop the GIVEN clip via the Python path.  Returns
+        (crop, mask_crop), or None when the dark-crop rule rejects it (the
+        caller redraws).  Raises with the file path on corrupt data."""
+        frames = [decode.decode_image(p, nc) for p in paths]
+        clip = np.concatenate(frames, axis=-1)              # (H, W, nc*pl)
+        clip = decode.short_side_resize(clip, opt.loadSize, rs)
+        h, w = clip.shape[:2]
+        if h < fs or w < fs:
+            # Undersized frames (loadSize=0 or < fineSize): upscale so the
+            # crop fits, matching center_sampler._python_one — otherwise the
+            # assignment fails with an opaque broadcast error in a worker.
+            clip = decode.resize(clip, max(h, fs), max(w, fs))
+            h, w = clip.shape[:2]
+        y, x = _random_crop_hw(rs, h, w, fs, fs)
+        crop = clip[y:y + fs, x:x + fs]
+        if crop.mean() < 0.1 * 255 and rs.rand() <= 0.95:
+            return None  # reject nearly-black crop
+        return crop, _mask_crop(h, w, y, x)
+
     def sample_one(rs):
         while True:
-            paths = corpus.sample_clip(rs, pl)
-            frames = [decode.decode_image(p, nc) for p in paths]
-            clip = np.concatenate(frames, axis=-1)          # (H, W, nc*pl)
-            clip = decode.short_side_resize(clip, opt.loadSize, rs)
-            h, w = clip.shape[:2]
-            if h < fs or w < fs:
-                # Undersized frames (loadSize=0 or < fineSize): upscale so
-                # the crop fits, matching center_sampler._python_one —
-                # otherwise the assignment below fails with an opaque
-                # broadcast error inside a worker thread.
-                clip = decode.resize(clip, max(h, fs), max(w, fs))
-                h, w = clip.shape[:2]
-            y, x = _random_crop_hw(rs, h, w, fs, fs)
-            crop = clip[y:y + fs, x:x + fs]
-            if crop.mean() < 0.1 * 255 and rs.rand() <= 0.95:
-                continue  # reject nearly-black crop, resample
-            if mask is not None:
-                m = mask
-                if m.shape[:2] != (h, w):
-                    m = (decode.resize((m * 255).astype(np.uint8), h, w)
-                         >= 128).astype(np.uint8)
-                mcrop = m[y:y + fs, x:x + fs]
-            else:
-                mcrop = np.zeros((fs, fs, 1), np.uint8)
-            return crop, mcrop
+            r = _python_clip(rs, corpus.sample_clip(rs, pl))
+            if r is not None:
+                return r
 
     def sample(rs: np.random.RandomState) -> Batch:
         if use_native:
