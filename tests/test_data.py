@@ -274,3 +274,28 @@ def test_eval_split_wiring(image_root):
 
     with pytest.raises(ValueError, match="only available for the center"):
         make_sampler(opt, "logo", split="test")
+
+
+def test_threaded_loader_propagates_worker_errors(tmp_path):
+    """A corrupt corpus under the THREADED loader must raise on get_batch
+    (the worker delivers its exception through the queue) — a silently-dead
+    worker pool would make get_batch hang forever."""
+    from video_filler_tpu.data.pipeline import load_mask
+    from video_filler_tpu.data.synthetic import make_mask_png, make_video_corpus
+
+    root = tmp_path / "c"
+    make_video_corpus(str(root), n_videos=1, frames=4, h=180, w=240)
+    make_mask_png(str(root / "mask.png"), h=180, w=240)
+    for variant in ("gt", "gt1"):
+        if (root / variant).is_dir():
+            for p in sorted(os.listdir(root / variant)):
+                (root / variant / p).write_bytes(b"garbage")
+
+    opt = Opt(DATA_ROOT=str(root), loadSize=150, predLen=2, batchSize=2,
+              nThreads=2)
+    corpus = VideoCorpus(str(root))
+    mask = load_mask(str(root / "mask.png"))
+    with DataLoader(video_sampler(opt, corpus, mask), 2, seed=3) as dl:
+        with pytest.raises(OSError, match="decode"):
+            for _ in range(4):  # the error surfaces within a few pops
+                dl.get_batch()

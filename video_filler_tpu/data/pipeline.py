@@ -355,18 +355,28 @@ class DataLoader:
     def _worker(self, seed: int) -> None:
         rs = np.random.RandomState(seed)
         while not self._stop.is_set():
-            batch = self._sample(rs)
+            try:
+                batch = self._sample(rs)
+            except BaseException as e:  # noqa: BLE001 — deliver to consumer:
+                # a silently-dead worker starves the queue and get_batch
+                # would hang forever once every worker has died
+                batch = e
             while not self._stop.is_set():
                 try:
                     self._q.put(batch, timeout=0.1)
                     break
                 except queue.Full:
                     continue
+            if isinstance(batch, BaseException):
+                return  # this worker exits after reporting its failure
 
     def get_batch(self) -> Batch:
         if self._n == 0:
             return self._sample(self._rs)
-        return self._q.get()
+        item = self._q.get()
+        if isinstance(item, BaseException):
+            raise item  # re-raise a worker's failure on the consumer thread
+        return item
 
     def close(self) -> None:
         if self._n:
