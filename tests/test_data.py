@@ -258,8 +258,8 @@ def test_corrupt_corpus_fails_loudly(tmp_path):
 
 def test_eval_split_wiring(image_root):
     """make_sampler split= draws from the held-out portion: sizes reflect
-    the split, an empty test split errors clearly, and non-center regimes
-    reject a test split (no split exists there, like the reference)."""
+    the split, an empty test split errors clearly, and the logo regime
+    rejects a test split (no split exists there, like the reference)."""
     opt = Opt(batchSize=2, loadSize=140, DATA_ROOT=image_root, split=50)
     s_tr, n_tr = make_sampler(opt, "center", split="train")
     s_te, n_te = make_sampler(opt, "center", split="test")
@@ -272,8 +272,63 @@ def test_eval_split_wiring(image_root):
     with pytest.raises(ValueError, match="split is empty"):
         s_bad(np.random.RandomState(0))
 
-    with pytest.raises(ValueError, match="only available for the center"):
+    with pytest.raises(ValueError, match="not available for the logo"):
         make_sampler(opt, "logo", split="test")
+
+
+def test_video_corpus_split_disjoint(video_root):
+    """VideoCorpus split: train clips come only from each video's head
+    range, test clips only from the held-out tail, and the two never share
+    a frame (the honest-metrics requirement — adjacent-frame leakage across
+    the boundary is bounded to the single boundary clip by construction)."""
+    corpus = VideoCorpus(video_root, split=60)
+    # 10 frames/video -> 6 train, 4 test
+    assert corpus.train_counts == [6, 6]
+    assert corpus.size("train") == 12 and corpus.size("test") == 8
+
+    def frames(split, length, n=200):
+        rs = np.random.RandomState(1)
+        out = set()
+        for _ in range(n):
+            for p in corpus.sample_clip(rs, length, split):
+                base = os.path.basename(p)
+                out.add((base.split("_")[1], int(base.split("_")[0])))
+        return out
+
+    tr, te = frames("train", 3), frames("test", 3)
+    assert tr and te and not (tr & te)
+    assert all(num <= 6 for _, num in tr)       # head range only
+    assert all(num >= 7 for _, num in te)       # tail range only
+    # every sampled path exists on disk
+    rs = np.random.RandomState(2)
+    clip = corpus.sample_clip(rs, 4, "test")
+    assert all(os.path.exists(p) for p in clip)
+
+
+def test_video_corpus_split_too_short_errors(video_root):
+    """A test portion smaller than the clip length must error clearly, not
+    build paths to frames outside the corpus."""
+    corpus = VideoCorpus(video_root, split=90)  # 1 test frame per video
+    with pytest.raises(ValueError, match="portion"):
+        corpus.sample_clip(np.random.RandomState(0), 3, "test")
+    # length-1 clips still fit
+    clip = corpus.sample_clip(np.random.RandomState(0), 1, "test")
+    assert os.path.exists(clip[0])
+
+
+def test_make_sampler_video_eval_split(video_root):
+    """evalSplit=test works for the video regimes given split<100, and the
+    held-out sampler emits valid batches disjoint from the train range."""
+    opt = Opt(batchSize=2, loadSize=150, predLen=2, DATA_ROOT=video_root,
+              maskName=os.path.join(video_root, "mask.png"), split=60)
+    s_te, n_te = make_sampler(opt, "video", split="test")
+    assert n_te == 8
+    batch = s_te(np.random.RandomState(0))
+    assert batch["raw"].shape == (2, 128, 128, 6)
+
+    opt100 = opt.replace(split=100)
+    with pytest.raises(ValueError, match="split < 100"):
+        make_sampler(opt100, "video", split="test")
 
 
 def test_threaded_loader_propagates_worker_errors(tmp_path):

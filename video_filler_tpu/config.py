@@ -64,9 +64,12 @@ class Opt:
                                  # happen regardless
     name: str = "train1"
     manualSeed: int = 0
-    split: int = 100             # train percentage of the folder dataset
-                                 # (dataset.lua:48; the reference's donkey
-                                 # hardcodes 100 — all data trains)
+    split: int = 100             # train percentage (dataset.lua:48; the
+                                 # reference's donkey hardcodes 100 — all
+                                 # data trains).  Folder dataset: per-class
+                                 # permutation split.  Video corpora: the
+                                 # first split% of each video's frames train,
+                                 # the tail is held out (index.VideoCorpus)
 
     # --- extra options (train.lua:29-33) ---
     conditionAdv: bool = False
@@ -138,10 +141,13 @@ class Opt:
                                      # fill a batch before running a partial
                                      # one (latency bound under low load)
     evalSplit: str = "train"         # eval/metrics data split: "test" gives
-                                     # honest held-out metrics on the center
-                                     # regime's folder dataset (needs
-                                     # split<100; the video corpus has no
-                                     # split, matching the reference)
+                                     # honest held-out metrics (needs
+                                     # split<100) on the center folder
+                                     # dataset and the video/video3d/wholeim
+                                     # corpora (held-out tail frames per
+                                     # video); default "train" matches the
+                                     # reference's test scripts, which sample
+                                     # the training pump
     checkpointEvery: int = 20        # epochs (train.lua:460; wholeim uses 2)
     checkpointDir: str = "checkpoints"
     keepCheckpoints: int = 0         # >0: after each save, delete this run's

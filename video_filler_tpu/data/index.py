@@ -155,6 +155,14 @@ class VideoCorpus:
     holds frames named ``<%0Nd><suffix>`` per video, where each suffix
     identifies one video.  ``variants`` are alternative ground-truth dirs
     sampled by probability (the reference's gt/ 0.6 vs gt1/ 0.4).
+
+    ``split`` reserves a held-out TAIL frame range per video: the first
+    ``round(count * split/100)`` frames of each video are the train portion,
+    the remainder the test portion.  This brings the folder dataset's
+    percentage split (data/dataset.lua:263-309 — machinery the reference
+    built but never wired to video) to the video corpora, as contiguous
+    tail ranges rather than a random permutation so adjacent near-duplicate
+    frames cannot straddle the boundary en masse.
     """
 
     root: str
@@ -167,6 +175,8 @@ class VideoCorpus:
     starts: list[int] = field(default_factory=list)     # per-video first
                                                         # frame; defaults to
                                                         # `start` everywhere
+    split: int = 100                                    # train percentage;
+                                                        # tail frames are test
 
     def __post_init__(self):
         if not self.suffixes:
@@ -177,6 +187,10 @@ class VideoCorpus:
             self.starts = [self.start] * len(self.suffixes)
         if len(self.starts) != len(self.suffixes):
             raise ValueError("starts and suffixes must align")
+        if not 0 < self.split <= 100:
+            raise ValueError(f"split must be in (0, 100], got {self.split}")
+        self.train_counts = [int(round(c * self.split / 100.0))
+                             for c in self.counts]
 
     def _discover(self) -> None:
         """Scan the first variant dir, group frames by suffix."""
@@ -205,14 +219,33 @@ class VideoCorpus:
                 f"inconsistent frame-number zero-padding under {d}: {pads}")
         self.pad = pads.pop()
 
-    def size(self) -> int:
-        return sum(self.counts)
+    def size(self, split: str = "train") -> int:
+        if split == "train":
+            return sum(self.train_counts)
+        return sum(c - t for c, t in zip(self.counts, self.train_counts))
 
-    def sample_clip(self, rs: np.random.RandomState, length: int) -> list[str]:
+    def _start_range(self, v: int, length: int, split: str) -> tuple[int, int]:
+        """(first_start, n_starts) of the clip-start range for one video's
+        split portion; n_starts <= 0 means the portion can't fit a clip."""
+        if split == "train":
+            return self.starts[v], self.train_counts[v] - length + 1
+        first = self.starts[v] + self.train_counts[v]
+        return first, (self.counts[v] - self.train_counts[v]) - length + 1
+
+    def sample_clip(self, rs: np.random.RandomState, length: int,
+                    split: str = "train") -> list[str]:
         """Uniform video, uniform start, variant by probability
-        (datavid/dataset.lua:360-378)."""
-        v = rs.randint(len(self.suffixes))
-        start = self.starts[v] + rs.randint(self.counts[v] - length + 1)
+        (datavid/dataset.lua:360-378).  `split` confines the start range to
+        the train head / held-out tail of each video."""
+        videos = [v for v in range(len(self.suffixes))
+                  if self._start_range(v, length, split)[1] > 0]
+        if not videos:
+            raise ValueError(
+                f"no video has a {split!r} portion of >= {length} frames "
+                f"(split={self.split}%) — lower `length` or adjust split")
+        v = videos[rs.randint(len(videos))]
+        first, n_starts = self._start_range(v, length, split)
+        start = first + rs.randint(n_starts)
         r, acc = rs.rand(), 0.0
         variant = self.variants[-1][0]
         for name, p in self.variants:

@@ -121,12 +121,13 @@ def load_mask(path: str, mode: str = "byte") -> np.ndarray:
 
 
 def video_sampler(opt: Opt, corpus: VideoCorpus,
-                  mask: np.ndarray | None) -> Callable:
+                  mask: np.ndarray | None, split: str = "train") -> Callable:
     """predLen consecutive frames channel-folded + the (rescaled, cropped)
     logo mask.  Dark crops (mean < 0.1) are rejected and resampled with keep
     probability 0.05 (datavid/donkey_folder.lua:150-155,
     datavid/dataset.lua:407-421) — data-dependent, so it stays host-side.
-    The random-block fallback for empty mask crops runs on device."""
+    The random-block fallback for empty mask crops runs on device.
+    `split` draws clips from the corpus's train head / held-out tail."""
     fs, pl, nc = opt.fineSize, opt.predLen, opt.nc
     use_native = _use_native(opt)
     fallback_warned = [False]  # one notice per sampler, not per clip
@@ -148,7 +149,7 @@ def video_sampler(opt: Opt, corpus: VideoCorpus,
         msk = np.empty((b, fs, fs, 1), np.uint8)
         pending = list(range(b))
         while pending:
-            clips = [corpus.sample_clip(rs, pl) for _ in pending]
+            clips = [corpus.sample_clip(rs, pl, split) for _ in pending]
             seeds = rs.randint(1, 2**63, size=len(pending), dtype=np.uint64)
             out, offs, _fails = native.load_clips(clips, opt.loadSize, fs,
                                                   seeds)
@@ -204,7 +205,7 @@ def video_sampler(opt: Opt, corpus: VideoCorpus,
 
     def sample_one(rs):
         while True:
-            r = _python_clip(rs, corpus.sample_clip(rs, pl))
+            r = _python_clip(rs, corpus.sample_clip(rs, pl, split))
             if r is not None:
                 return r
 
@@ -221,7 +222,7 @@ def video_sampler(opt: Opt, corpus: VideoCorpus,
 
 
 def wholeim_sampler(opt: Opt, corpus: VideoCorpus,
-                    mask: np.ndarray) -> Callable:
+                    mask: np.ndarray, split: str = "train") -> Callable:
     """Patch-array regime (datavid/donkey_wholeim.lua:141-216):
     mask-fill the frame, random translate-crop (≤100x70 px, zero re-padded),
     hflip p=0.4, slice arrh x arrw overlapping fineSize patches into channels;
@@ -234,7 +235,7 @@ def wholeim_sampler(opt: Opt, corpus: VideoCorpus,
 
     def sample_one(rs):
         while True:
-            path = corpus.sample_clip(rs, 1)[0]
+            path = corpus.sample_clip(rs, 1, split)[0]
             img = decode.load_and_resize(path, opt.loadSize, nc, rs)
             h, w = img.shape[:2]
             m = mask
@@ -294,17 +295,18 @@ def wholeim_sampler(opt: Opt, corpus: VideoCorpus,
 def make_sampler(opt: Opt, regime: str, split: str = "train"):
     """Build (sampler, dataset_size) for a regime from the Opt's data roots.
 
-    `split`: which portion of the folder dataset to draw from (center regime
-    only — the paired/video datasets have no split, like the reference)."""
+    `split`: which portion of the dataset to draw from.  The folder dataset
+    splits per class (data/dataset.lua:263-309); the video corpora reserve a
+    held-out tail frame range per video (Opt.split < 100).  Only the paired
+    logo dataset has no split (matching the reference)."""
     if regime == "center":
         index = FolderIndex(opt.DATA_ROOT, split=opt.split)
         return center_sampler(opt, index, split=split), index.size(split)
-    if split != "train":
-        raise ValueError(
-            "evalSplit='test' is only available for the center regime's "
-            "folder dataset; the paired/video corpora have no split "
-            "(matching the reference)")
     if regime == "logo":
+        if split != "train":
+            raise ValueError(
+                "evalSplit='test' is not available for the logo regime: the "
+                "paired dataset has no split (matching dataset_logo.lua)")
         paired = PairedIndex(opt.DATA_ROOT, opt.DATA_ROOT_GT)
         return logo_sampler(opt, paired), paired.size()
     mask = load_mask(opt.maskName) if opt.maskName else None
@@ -315,15 +317,20 @@ def make_sampler(opt: Opt, regime: str, split: str = "train"):
     corpus = VideoCorpus(opt.DATA_ROOT,
                          variants=(("gt", 1.0 - opt.gt1Prob),
                                    ("gt1", opt.gt1Prob)),
+                         split=opt.split,
                          **corpus_kw)
+    if split != "train" and opt.split >= 100:
+        raise ValueError(
+            "evalSplit='test' needs split < 100 to reserve a held-out tail "
+            "range per video (VideoCorpus.split)")
     if regime in ("video", "video3d"):
         # video3d shares the host pipeline; the device preprocess unfolds
         # channels onto the temporal axis.
-        return video_sampler(opt, corpus, mask), corpus.size()
+        return video_sampler(opt, corpus, mask, split), corpus.size(split)
     if regime == "wholeim":
         if mask is None:
             raise ValueError("wholeim regime requires maskName")
-        return wholeim_sampler(opt, corpus, mask), corpus.size()
+        return wholeim_sampler(opt, corpus, mask, split), corpus.size(split)
     raise ValueError(f"unknown regime {regime!r}")
 
 
