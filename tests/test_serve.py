@@ -106,10 +106,12 @@ def test_serve_batched_request_and_errors(video_server):
     assert health == b"ok"
 
 
-def test_serve_center_regime_raw_output(tmp_path):
-    """center predicts the 64^2 hole from the 128^2 context (different
-    geometry) — serve returns the raw G output and rejects masks."""
-    opt = Opt(batchSize=2, **TINY)
+def test_serve_center_regime_composite(tmp_path):
+    """center predicts the 64^2 hole; serve pastes it back into the context
+    (demo.lua:73-76) and returns the full inpainted 128^2 frame — equal to
+    ctx outside the hole, generated inside.  The overlapPred ring stays
+    context.  Masks are rejected (the hole is fixed)."""
+    opt = Opt(batchSize=2, overlapPred=4, **TINY)
     state = init_train_state(jax.random.PRNGKey(0), opt, "center")
     path = save_checkpoint(str(tmp_path), "c", 1, state)
     srv = InpaintServer(opt, "center", path, port=0, max_delay_ms=1.0)
@@ -117,9 +119,60 @@ def test_serve_center_regime_raw_output(tmp_path):
         rs = np.random.RandomState(0)
         ctx = rs.randint(0, 256, (128, 128, 3), np.uint8)
         out = _post(srv.port, ctx=ctx)
-        assert out.shape == (64, 64, 3)
+        assert out.shape == (128, 128, 3)
+        # outside the pasted region (center 64^2 minus the 4px overlap ring):
+        # untouched context
+        hole = np.zeros((128, 128), bool)
+        hole[32 + 4:96 - 4, 32 + 4:96 - 4] = True
+        np.testing.assert_array_equal(out[~hole], ctx[~hole])
+        assert not np.array_equal(out[hole], ctx[hole])  # generated pixels
         with pytest.raises(urllib.error.HTTPError) as e:
             _post(srv.port, ctx=ctx, mask=np.ones((128, 128, 1), np.uint8))
         assert e.value.code == 400
+    finally:
+        srv.close()
+
+
+def test_serve_overload_and_expiry(tmp_path):
+    """Bounded queue: a full backlog rejects at ingress (503/ServerOverloaded)
+    instead of growing forever, and queue entries whose waiters already
+    timed out are dropped unprocessed by the batch loop."""
+    import queue as queue_mod
+    import time
+    from concurrent.futures import Future
+
+    from video_filler_tpu.serve import ServerOverloaded
+
+    opt = Opt(predLen=2, batchSize=2, **TINY)
+    state = init_train_state(jax.random.PRNGKey(0), opt, "video")
+    path = save_checkpoint(str(tmp_path), "srv2", 1, state)
+    # device_thread=False and no run_forever: the queue never drains, making
+    # the overload/expiry behavior deterministic.
+    srv = InpaintServer(opt, "video", path, port=0, max_delay_ms=1.0,
+                        device_thread=False)
+    try:
+        ctx = np.zeros((1, 128, 128, 6), np.uint8)
+        far = time.perf_counter() + 60.0
+        while True:  # fill the bounded queue to the brim
+            try:
+                srv._queue.put_nowait((ctx, None, Future(), far))
+            except queue_mod.Full:
+                break
+        with pytest.raises(ServerOverloaded, match="queue full"):
+            srv.infer(ctx, None)
+        assert srv.stats()["rejected"] == 1
+
+        # drain, then check expiry: _pop_live skips the stale entry (failing
+        # its future) and returns the live one
+        while not srv._queue.empty():
+            srv._queue.get_nowait()
+        stale_fut, live_fut = Future(), Future()
+        srv._queue.put_nowait((ctx, None, stale_fut,
+                               time.perf_counter() - 1.0))
+        srv._queue.put_nowait((ctx, None, live_fut, far))
+        got = srv._pop_live(0.5)
+        assert got is not None and got[2] is live_fut
+        assert isinstance(stale_fut.exception(timeout=0), TimeoutError)
+        assert srv.stats()["expired"] == 1
     finally:
         srv.close()

@@ -167,6 +167,11 @@ def prune_checkpoints(ckpt_dir: str, name: str, keep: int) -> list[str]:
     """
     if keep <= 0 or not os.path.isdir(ckpt_dir):
         return []
+    # An async save still writing its .tmp is invisible to the directory
+    # listing — retention computed against that stale view would keep one
+    # fewer finished checkpoint than promised once the rename lands.  Join
+    # pending writes first so the count is exact (and surface their errors).
+    wait_pending_saves()
     pat = re.compile(re.escape(name) + r"_(\d+)_state\.npz$")
     found = sorted(
         ((int(m.group(1)), fn) for fn in os.listdir(ckpt_dir)

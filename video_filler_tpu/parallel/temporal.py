@@ -218,7 +218,7 @@ def shard_sp_batch(mesh: Mesh, batch):
     return {k: put(k, v) for k, v in batch.items()}
 
 
-def shard_sp_host_batch(mesh: Mesh, batch):
+def shard_sp_host_batch(mesh: Mesh, batch, nc: int = 3):
     """Device_put the loader's uint8 video batch for the SP train step.
 
     The folded channel axis of ``raw`` (B, H, W, nc*T) is T-major (frame t
@@ -226,13 +226,20 @@ def shard_sp_host_batch(mesh: Mesh, batch):
     over 'seq' places each device's own frames locally: the in-jit
     ``unfold_time`` reshape then yields the (data, seq)-sharded clip without
     replicating every row to all seq devices first (over a remote-TPU link
-    that replication multiplies the host->device transfer by n_seq)."""
+    that replication multiplies the host->device transfer by n_seq).
+
+    ``nc`` (channels per frame) guards FRAME alignment: nc*T dividing n_seq
+    is not enough — e.g. nc=3, T=4, n_seq=6 would shard mid-frame, silently
+    defeating the locality this function promises."""
     raw = batch["raw"]
     n_seq = mesh.shape[SEQ_AXIS]
-    if raw.shape[-1] % n_seq:
+    per_shard, rem = divmod(raw.shape[-1], n_seq)
+    if rem or per_shard % nc:
         raise ValueError(
-            f"folded channels {raw.shape[-1]} must divide the seq axis "
-            f"{n_seq}")
+            f"folded channels {raw.shape[-1]} over seq axis {n_seq} give "
+            f"{raw.shape[-1] / n_seq:g} channels per shard — not a multiple "
+            f"of nc={nc}: the T axis must divide n_seq so shards split on "
+            "frame boundaries")
 
     def put(k, x):
         if k == "raw":

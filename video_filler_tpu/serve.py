@@ -20,10 +20,18 @@ API (all numpy .npz bodies):
   POST /inpaint   {"ctx": (H,W,C) or (B,H,W,C) uint8 masked context,
                    optional "mask": (H,W,1) or (B,H,W,1) uint8 {0,1}}
                   -> {"out": same-shape uint8; inside mask = generated,
-                      outside = ctx (absent mask = full G output)}
-  GET  /stats     {"requests", "items", "batches", "avg_fill", "p50_ms",
-                   "p95_ms"}
+                      outside = ctx (absent mask = full G output).
+                      center regime: the predicted 64^2 hole is pasted back
+                      into ctx (demo.lua:73-76 semantics, overlapPred ring
+                      kept from the context) — no mask input needed}
+  GET  /stats     {"requests", "items", "batches", "expired", "rejected",
+                   "avg_fill", "p50_ms", "p95_ms"}
   GET  /healthz   200 "ok"
+
+Overload behavior: the request queue is bounded (4 batches deep); a full
+queue rejects immediately with 503 instead of growing without limit, and
+requests whose waiters have already hit the client timeout are dropped
+unprocessed — the device never burns a batch on abandoned work.
 
 CLI:
     python -m video_filler_tpu.serve regime=video net=checkpoints/..._state.npz \
@@ -53,6 +61,13 @@ from video_filler_tpu.config import Opt, from_args
 from video_filler_tpu.eval.common import load_generator
 from video_filler_tpu.models import specs_for_regime
 
+REQUEST_TIMEOUT_S = 60.0  # client wait bound; queue entries older than this
+                          # are dropped unprocessed (their waiter is gone)
+
+
+class ServerOverloaded(RuntimeError):
+    """Request queue full — reject now (HTTP 503) rather than queue forever."""
+
 
 class InpaintServer:
     """Dynamic-batching HTTP server around one jitted generator forward."""
@@ -71,17 +86,22 @@ class InpaintServer:
         gspec, _ = specs_for_regime(opt, regime)
         self.nc_in = gspec.nc_in
         # Composite-inside-mask needs output == input geometry (video/logo:
-        # 128^2 -> 128^2 same channels).  center predicts the 64^2 hole and
-        # wholeim predicts different channels — those serve the raw G output.
+        # 128^2 -> 128^2 same channels).  center predicts the 64^2 hole,
+        # which pastes back into a fixed region of ctx (demo.lua:73-76) —
+        # full inpainted frame out, no mask input.  wholeim predicts
+        # different channels — it serves the raw G output.
         self.composable = (gspec.nc_in == gspec.nc_out
                            and gspec.out_size == self.fs)
+        self.center_paste = regime == "center"
         self.max_delay = max_delay_ms / 1000.0
         _, self._params, self._bn = load_generator(opt, regime, net_path)
         from video_filler_tpu.models import build_for_regime
         gen = build_for_regime(opt, regime)[0]
-        composable = self.composable
+        composable, center_paste = self.composable, self.center_paste
+        overlap = opt.overlapPred
 
         from video_filler_tpu.ops import image as image_ops
+        from video_filler_tpu.ops import masks as mask_ops
 
         @jax.jit
         def serve_fn(params, bn_state, ctx_u8, mask_u8):
@@ -93,13 +113,22 @@ class InpaintServer:
                 # any nonzero pixel means "inside the hole".
                 m = (mask_u8 > 0).astype(jnp.float32)
                 out = m * out + (1.0 - m) * x
+            elif center_paste:
+                # Paste the predicted 64^2 center into the context, keeping
+                # the overlapPred ring from ctx — the full inpainted frame.
+                out = mask_ops.paste_center(x.astype(jnp.float32), out,
+                                            overlap)
             return image_ops.denormalize_to_uint8(out)
 
         self._serve_fn = serve_fn
-        self._queue: queue.Queue = queue.Queue()
+        # Bounded backlog: ~4 full batches of single-row requests.  Overload
+        # rejects at ingress (503) instead of queueing unboundedly while the
+        # device also churns through requests whose clients already gave up.
+        self._queue: queue.Queue = queue.Queue(maxsize=max(4 * self.batch, 16))
         self._closed = False
         self._stats_lock = threading.Lock()
-        self._stats = {"requests": 0, "items": 0, "batches": 0}
+        self._stats = {"requests": 0, "items": 0, "batches": 0,
+                       "expired": 0, "rejected": 0}
         self._latencies: list[float] = []
 
         # Warm up (compile) before accepting traffic.
@@ -133,6 +162,25 @@ class InpaintServer:
 
     # ---- device side ----------------------------------------------------
 
+    def _pop_live(self, timeout: float):
+        """Pop the next request whose client is still waiting (None on
+        timeout).  Entries past their deadline are dropped unprocessed —
+        running them would burn device time on results nobody reads."""
+        end = time.perf_counter() + timeout
+        while True:
+            try:
+                item = self._queue.get(
+                    timeout=max(end - time.perf_counter(), 1e-4))
+            except queue.Empty:
+                return None
+            if time.perf_counter() <= item[3]:
+                return item
+            if not item[2].done():
+                item[2].set_exception(
+                    TimeoutError("request expired in queue"))
+            with self._stats_lock:
+                self._stats["expired"] += 1
+
     def _run_batches(self) -> None:
         """Single device client: drain the queue into padded fixed batches."""
         carry = None  # request that didn't fit the previous batch: runs FIRST
@@ -140,19 +188,18 @@ class InpaintServer:
             if carry is not None:
                 items, carry = [carry], None
             else:
-                try:
-                    items = [self._queue.get(timeout=0.2)]
-                except queue.Empty:
+                item = self._pop_live(0.2)
+                if item is None:
                     continue
+                items = [item]
             deadline = time.perf_counter() + self.max_delay
             rows = items[0][0].shape[0]
             while rows < self.batch:
                 remaining = deadline - time.perf_counter()
                 if remaining <= 0:
                     break
-                try:
-                    nxt = self._queue.get(timeout=remaining)
-                except queue.Empty:
+                nxt = self._pop_live(remaining)
+                if nxt is None:
                     break
                 if rows + nxt[0].shape[0] > self.batch:
                     # head of the NEXT batch (a re-enqueue to the queue tail
@@ -166,7 +213,7 @@ class InpaintServer:
                            np.uint8)
             mask = np.ones((self.batch, self.fs, self.fs, 1), np.uint8)
             at = 0
-            for c, m, _ in items:
+            for c, m, _, _ in items:
                 ctx[at:at + c.shape[0]] = c
                 if m is not None:
                     mask[at:at + c.shape[0]] = m
@@ -176,11 +223,11 @@ class InpaintServer:
                                                 jnp.asarray(ctx),
                                                 jnp.asarray(mask)))
                 at = 0
-                for c, _, fut in items:
+                for c, _, fut, _ in items:
                     fut.set_result(out[at:at + c.shape[0]])
                     at += c.shape[0]
             except Exception as e:  # surface device errors to the clients
-                for _, _, fut in items:
+                for _, _, fut, _ in items:
                     if not fut.done():
                         fut.set_exception(e)
             with self._stats_lock:
@@ -197,8 +244,16 @@ class InpaintServer:
                 f"{self.batch} — split client-side")
         t0 = time.perf_counter()
         fut: Future = Future()
-        self._queue.put((ctx, mask, fut))
-        out = fut.result(timeout=60.0)
+        try:
+            self._queue.put_nowait((ctx, mask, fut,
+                                    t0 + REQUEST_TIMEOUT_S))
+        except queue.Full:
+            with self._stats_lock:
+                self._stats["rejected"] += 1
+            raise ServerOverloaded(
+                f"request queue full ({self._queue.maxsize} pending) — "
+                "retry with backoff") from None
+        out = fut.result(timeout=REQUEST_TIMEOUT_S)
         with self._stats_lock:
             self._stats["requests"] += 1
             self._latencies.append((time.perf_counter() - t0) * 1000.0)
@@ -253,8 +308,9 @@ class InpaintServer:
                     if mask is not None and not server.composable:
                         raise ValueError(
                             "mask compositing needs matching in/out "
-                            "geometry (video/logo regimes); this model "
-                            "serves the raw generator output")
+                            "geometry (video/logo regimes); center models "
+                            "inpaint their fixed center hole (no mask "
+                            "input) and wholeim serves the raw G output")
                     if mask is not None and \
                             mask.shape != (ctx.shape[0], fs, fs, 1):
                         raise ValueError(
@@ -266,6 +322,9 @@ class InpaintServer:
                     out = server.infer(ctx, mask)
                 except ValueError as e:  # client error (e.g. oversize batch)
                     self._send(400, "text/plain", str(e).encode())
+                    return
+                except ServerOverloaded as e:
+                    self._send(503, "text/plain", str(e).encode())
                     return
                 except Exception as e:
                     self._send(500, "text/plain", str(e).encode())

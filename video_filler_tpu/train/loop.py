@@ -280,7 +280,7 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
         from video_filler_tpu.parallel import temporal
 
         def to_device(hb):
-            return temporal.shard_sp_host_batch(sp_mesh, hb)
+            return temporal.shard_sp_host_batch(sp_mesh, hb, nc=opt.nc)
     else:
         def to_device(hb):
             return distributed.global_batch_from_local(mesh, hb)
