@@ -445,25 +445,16 @@ def test_adam_trajectory_matches_torch_five_steps(rng):
     assert np.abs(diffs5).max() < 2 * 10 * opt.lr * n_steps
 
 
-def test_video_step_gradients_match_torch(rng):
-    """Video-regime golden: the flagship trainer's gradient blend — masked
-    l2 weights lambda (train_vid_weighted.lua:494-497), (1-wtl2) adversarial
-    scale, and the GDL quirk (MSE gradient, :524-527) — matches a torch
-    replica on the 128-out G / BN-free-head 128-in D."""
-    import torch
-    import torch.nn as nn
-    import torch.nn.functional as F
+PL_VID, NC_VID = 2, 6
+LAM_VID, WTGDL_VID = 0.05, 0.1
 
-    torch.manual_seed(2)
-    PL, NC = 2, 6
-    LAM, WTGDL = 0.05, 0.1
-    opt = Opt(nef=NEF, ngf=NGF, ndf=NDF, nBottleneck=NB, batchSize=2,
-              predLen=PL, wtl2=WTL2, weight_nomask=LAM, wtgdl=WTGDL,
-              gdlTorchQuirk=True, computeDtype="float32")
 
+def _torch_video_nets():
+    """Torch replicas of the video-regime 128-out G / BN-free-head D."""
     conv = lambda i, o, k=4, s=2, p=1: nn.Conv2d(i, o, k, s, p, bias=False)
     deconv = lambda i, o, k=4, s=2, p=1: nn.ConvTranspose2d(i, o, k, s, p,
                                                             bias=False)
+    NC = NC_VID
     tg = nn.Sequential(
         conv(NC, NEF), nn.LeakyReLU(0.2),
         conv(NEF, NEF), nn.BatchNorm2d(NEF), nn.LeakyReLU(0.2),
@@ -485,20 +476,19 @@ def test_video_step_gradients_match_torch(rng):
         conv(NDF * 2, NDF * 4), nn.BatchNorm2d(NDF * 4), nn.LeakyReLU(0.2),
         conv(NDF * 4, NDF * 8), nn.BatchNorm2d(NDF * 8), nn.LeakyReLU(0.2),
         conv(NDF * 8, 1, 4, 1, 0))
-    tg.train(), td.train()
+    return tg, td
 
-    gen, disc = build_for_regime(opt, "video")
+
+def _share_video_weights_into(tg, td, gen, disc, rng):
+    """Copy the torch video nets' weights + BN stats into our pytrees."""
     gp, gs = gen.init(rng)
     dp, ds = disc.init(jax.random.PRNGKey(1))
-
     tconvs = [m for m in tg if isinstance(m, (nn.Conv2d, nn.ConvTranspose2d))]
     tbns = [m for m in tg if isinstance(m, nn.BatchNorm2d)]
-    enc_names = [f"conv{i}" for i in range(6)]
-    dec_names = [f"up{i}" for i in range(6)]
-    for i, name in enumerate(enc_names):
+    for i, name in enumerate([f"conv{i}" for i in range(6)]):
         gp["enc"][name]["w"] = jnp.asarray(
             tconvs[i].weight.detach().numpy().transpose(2, 3, 1, 0))
-    for i, name in enumerate(dec_names):
+    for i, name in enumerate([f"up{i}" for i in range(6)]):
         gp["dec"][name]["w"] = jnp.asarray(
             tconvs[6 + i].weight.detach().numpy().transpose(2, 3, 0, 1))
 
@@ -513,7 +503,6 @@ def test_video_step_gradients_match_torch(rng):
     gp["bott_bn"], gs["bott_bn"] = _bn(tbns[4])
     for i, name in enumerate([f"bn{i}" for i in range(5)]):
         gp["dec"][name], gs["dec"][name] = _bn(tbns[5 + i])
-
     dconvs = [m for m in td if isinstance(m, nn.Conv2d)]
     dbns = [m for m in td if isinstance(m, nn.BatchNorm2d)]
     for i, name in enumerate([f"conv{i}" for i in range(6)]):
@@ -521,6 +510,194 @@ def test_video_step_gradients_match_torch(rng):
             dconvs[i].weight.detach().numpy().transpose(2, 3, 1, 0))
     for i, name in enumerate([f"bn{i}" for i in range(2, 5)]):
         dp[name], ds[name] = _bn(dbns[i])
+    return gp, gs, dp, ds
+
+
+def _run_torch_video_trajectory(tg0, td0, reals, masks_np, opt, mode,
+                                n_steps):
+    """Torch replica of the fused VIDEO step — λ-weighted L2
+    (train_vid_weighted.lua:494-497), hard composite inside the mask
+    (train_mycrit.lua:431-437), GDL quirk (MSE gradient, :524-527) — driven
+    by _AdamNp in the given eps convention; returns (G conv weights in our
+    layout, per-step (errD, errG_l2))."""
+    tg2, td2 = _torch_video_nets()
+    tg2.load_state_dict(tg0.state_dict())
+    td2.load_state_dict(td0.state_dict())
+    tg2.train(), td2.train()
+    g_params = [m.weight for m in tg2
+                if isinstance(m, (nn.Conv2d, nn.ConvTranspose2d))]
+    g_affine = [p for m in tg2 if isinstance(m, nn.BatchNorm2d)
+                for p in (m.weight, m.bias)]
+    d_params = [m.weight for m in td2 if isinstance(m, nn.Conv2d)]
+    d_affine = [p for m in td2 if isinstance(m, nn.BatchNorm2d)
+                for p in (m.weight, m.bias)]
+    adam_g = _AdamNp([p.detach().numpy() for p in g_params + g_affine],
+                     opt.lr * 10, mode)
+    adam_d = _AdamNp([p.detach().numpy() for p in d_params + d_affine],
+                     opt.lr, mode)
+    fillv = 2.0 * opt.maskValue - 1.0
+    losses_t = []
+    for i in range(n_steps):
+        real_t = torch.from_numpy(reals[i].transpose(0, 3, 1, 2))
+        mask_t = torch.from_numpy(masks_np[i].transpose(0, 3, 1, 2))
+        ctx_t = real_t * (1 - mask_t) + fillv * mask_t
+        fake_t = tg2(ctx_t)
+        # hard composite: only masked pixels come from G (fill_in)
+        comp_t = real_t * (1 - mask_t) + fake_t * mask_t
+        out_real = td2(real_t).view(-1)
+        out_fake = td2(comp_t.detach()).view(-1)
+        loss_d = (F.binary_cross_entropy_with_logits(
+                      out_real, torch.ones_like(out_real))
+                  + F.binary_cross_entropy_with_logits(
+                      out_fake, torch.zeros_like(out_fake)))
+        td2.zero_grad(), tg2.zero_grad()
+        loss_d.backward()
+        d_grads = [p.grad.detach().numpy().copy()
+                   for p in d_params + d_affine]
+        # G pass: frozen D, batch-stat BN without a running-stat update
+        for p in td2.parameters():
+            p.requires_grad_(False)
+        moms = [(m, m.momentum) for m in td2
+                if isinstance(m, nn.BatchNorm2d)]
+        for m, _ in moms:
+            m.momentum = 0.0
+        out_fake_g = td2(comp_t).view(-1)
+        for m, mom in moms:
+            m.momentum = mom
+        for p in td2.parameters():
+            p.requires_grad_(True)
+        weights_t = WTL2 * (mask_t * (1 - LAM_VID) + LAM_VID)
+        loss_g = ((1 - WTL2) * F.binary_cross_entropy_with_logits(
+                      out_fake_g, torch.ones_like(out_fake_g))
+                  + (weights_t * (comp_t - real_t) ** 2).sum()
+                  / comp_t.numel()
+                  # GDL quirk: gradient is wtgdl * d/dx MSE
+                  + WTGDL_VID * ((comp_t - real_t) ** 2).mean())
+        tg2.zero_grad()
+        loss_g.backward()
+        g_grads = [p.grad.detach().numpy().copy()
+                   for p in g_params + g_affine]
+        new_g = adam_g.update([p.detach().numpy()
+                               for p in g_params + g_affine], g_grads)
+        new_d = adam_d.update([p.detach().numpy()
+                               for p in d_params + d_affine], d_grads)
+        with torch.no_grad():
+            for p, nv in zip(g_params + g_affine, new_g):
+                p.copy_(torch.from_numpy(nv))
+            for p, nv in zip(d_params + d_affine, new_d):
+                p.copy_(torch.from_numpy(nv))
+        losses_t.append((float(loss_d.detach()),
+                         float(F.mse_loss(comp_t, real_t).detach())))
+    ws = []
+    for m in tg2:
+        if isinstance(m, nn.Conv2d):
+            ws.append(m.weight.detach().numpy().transpose(2, 3, 1, 0))
+        elif isinstance(m, nn.ConvTranspose2d):
+            ws.append(m.weight.detach().numpy().transpose(2, 3, 0, 1))
+    return ws, losses_t
+
+
+def test_video_adam_trajectory_matches_torch_five_steps(rng):
+    """Flagship-regime 5-step trajectory golden (the center-regime test
+    above pins the simple path; this pins the video semantics over multiple
+    Adam steps: λ-weighted L2 blend + hard composite + gdlTorchQuirk
+    interacting with both optimizers' state).  Same per-step-valid
+    assertions: tight step-1 weights, 5-step loss-trajectory tracking, the
+    eps-placement divergence quantified replica-vs-replica."""
+    from video_filler_tpu.train import init_train_state, make_train_step
+
+    torch.manual_seed(6)
+    n_steps = 5
+    opt = Opt(nef=NEF, ngf=NGF, ndf=NDF, nBottleneck=NB, batchSize=2,
+              predLen=PL_VID, wtl2=WTL2, weight_nomask=LAM_VID,
+              wtgdl=WTGDL_VID, gdlTorchQuirk=True, compositeLtOne=True,
+              computeDtype="float32")
+    tg, td = _torch_video_nets()
+    tg.train(), td.train()
+    gen, disc = build_for_regime(opt, "video")
+    gp, gs, dp, ds = _share_video_weights_into(tg, td, gen, disc, rng)
+
+    state = init_train_state(jax.random.PRNGKey(9), opt, "video")
+    state = state._replace(params_g=gp, params_d=dp, state_g=gs, state_d=ds)
+    step = jax.jit(make_train_step(opt, "video"))
+    rs = np.random.RandomState(13)
+    reals, masks_np = [], []
+    for _ in range(n_steps):
+        reals.append(rs.rand(2, 128, 128, NC_VID).astype(np.float32) * 2 - 1)
+        m = np.zeros((2, 128, 128, 1), np.float32)
+        for b in range(2):
+            y, x = rs.randint(10, 60, size=2)
+            h, w = rs.randint(30, 60, size=2)
+            m[b, y:y + h, x:x + w] = 1.0
+        masks_np.append(m)
+
+    def ours_g_weights(st):
+        return ([np.asarray(st.params_g["enc"][f"conv{i}"]["w"])
+                 for i in range(6)]
+                + [np.asarray(st.params_g["dec"][f"up{i}"]["w"])
+                   for i in range(6)])
+
+    losses_ours = []
+    state1 = None
+    for i in range(n_steps):
+        state, m = step(state, {"real": jnp.asarray(reals[i]),
+                                "mask": jnp.asarray(masks_np[i])},
+                        jax.random.PRNGKey(200 + i))
+        losses_ours.append((float(m["errD"]), float(m["errG_l2"])))
+        if i == 0:
+            state1 = state
+
+    ref_w_px1, _ = _run_torch_video_trajectory(tg, td, reals, masks_np, opt,
+                                               "optax", 1)
+    ref_w_lua1, _ = _run_torch_video_trajectory(tg, td, reals, masks_np, opt,
+                                                "lua", 1)
+    ref_w_px, losses_px = _run_torch_video_trajectory(tg, td, reals, masks_np,
+                                                      opt, "optax", n_steps)
+
+    diffs1 = np.concatenate([(a - b).ravel() for a, b in
+                             zip(ours_g_weights(state1), ref_w_px1)])
+    assert np.percentile(np.abs(diffs1), 99) < 1e-5, \
+        f"p99 {np.percentile(np.abs(diffs1), 99):.2e}"
+    assert np.abs(diffs1).max() <= 2.05 * 10 * opt.lr
+
+    for i, ((d_o, l2_o), (d_t, l2_t)) in enumerate(zip(losses_ours,
+                                                       losses_px)):
+        np.testing.assert_allclose(d_o, d_t, rtol=0.05,
+                                   err_msg=f"errD step {i + 1}")
+        np.testing.assert_allclose(l2_o, l2_t, rtol=0.05,
+                                   err_msg=f"errG_l2 step {i + 1}")
+
+    eps_diff = np.concatenate([(a - b).ravel() for a, b in
+                               zip(ref_w_px1, ref_w_lua1)])
+    assert 0 < np.abs(eps_diff).max() < 10 * opt.lr, \
+        f"eps-placement max diff {np.abs(eps_diff).max():.2e}"
+
+    diffs5 = np.concatenate([(a - b).ravel() for a, b in
+                             zip(ours_g_weights(state), ref_w_px)])
+    assert np.abs(diffs5).max() < 2 * 10 * opt.lr * n_steps
+
+
+def test_video_step_gradients_match_torch(rng):
+    """Video-regime golden: the flagship trainer's gradient blend — masked
+    l2 weights lambda (train_vid_weighted.lua:494-497), (1-wtl2) adversarial
+    scale, and the GDL quirk (MSE gradient, :524-527) — matches a torch
+    replica on the 128-out G / BN-free-head 128-in D."""
+    torch.manual_seed(2)
+    NC = NC_VID
+    LAM, WTGDL = LAM_VID, WTGDL_VID
+    opt = Opt(nef=NEF, ngf=NGF, ndf=NDF, nBottleneck=NB, batchSize=2,
+              predLen=PL_VID, wtl2=WTL2, weight_nomask=LAM, wtgdl=WTGDL,
+              gdlTorchQuirk=True, computeDtype="float32")
+
+    tg, td = _torch_video_nets()
+    tg.train(), td.train()
+
+    gen, disc = build_for_regime(opt, "video")
+    gp, gs, dp, ds = _share_video_weights_into(tg, td, gen, disc, rng)
+    tconvs = [m for m in tg if isinstance(m, (nn.Conv2d, nn.ConvTranspose2d))]
+    dconvs = [m for m in td if isinstance(m, nn.Conv2d)]
+    enc_names = [f"conv{i}" for i in range(6)]
+    dec_names = [f"up{i}" for i in range(6)]
 
     # shared batch: channel-folded clip + block mask
     rs = np.random.RandomState(7)
