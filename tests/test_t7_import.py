@@ -598,6 +598,109 @@ def test_export_generator_128(tmp_path):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_reader_cuda_typed_storages(tmp_path):
+    """CudaTensor/CudaStorage-typed records: a checkpoint torch.save()d from
+    a GPU net without :float() conversion serializes the identical wire
+    format under cutorch class names (util.lua:72-81 clears buffers but not
+    types).  The reader must map them to the matching host dtypes."""
+    w = T7WriterExt()
+    w._i32(3); w._i32(w.next_idx); w.next_idx += 1; w._i32(3)
+    w.string("w")
+    w.tensor_header("torch.CudaTensor", (2, 3), (3, 1), 1)
+    data = np.arange(6, dtype=np.float32) * 0.5
+    w.storage_typed(data, "torch.CudaStorage")
+    w.string("idx")
+    w.tensor_header("torch.CudaLongTensor", (2,), (1,), 1)
+    w.storage_typed(np.array([7, 2**35], np.int64), "torch.CudaLongStorage")
+    w.string("h")
+    w.tensor_header("torch.CudaHalfTensor", (2,), (1,), 1)
+    w.storage_typed(np.array([1.5, -0.25], np.float16),
+                    "torch.CudaHalfStorage")
+    p = tmp_path / "cuda.t7"
+    p.write_bytes(w.buf.getvalue())
+    obj = read_t7(str(p))
+    np.testing.assert_array_equal(obj["w"], data.reshape(2, 3))
+    assert obj["w"].dtype == np.float32
+    np.testing.assert_array_equal(obj["idx"], [7, 2**35])
+    np.testing.assert_array_equal(obj["h"], [1.5, -0.25])
+
+
+def test_reader_shared_storage_across_modules(tmp_path):
+    """One storage shared by the weight tensors of TWO nn modules (torch
+    memoizes the storage record; the second tensor holds a memo ref) — e.g.
+    tied weights.  Both module weights must read back as views of the same
+    data, through the TorchObject path rather than a plain table."""
+    w = T7WriterExt()
+    data = np.arange(8, dtype=np.float32)
+
+    def module(cls, ref_idx=None):
+        w._i32(4); w._i32(w.next_idx); w.next_idx += 1
+        w._raw_str("V 1"); w._raw_str(cls)
+        w._i32(3); w._i32(w.next_idx); w.next_idx += 1; w._i32(1)
+        w.string("weight")
+        w.tensor_header("torch.FloatTensor", (2, 4), (4, 1), 1)
+        if ref_idx is None:
+            return w.storage_typed(data, "torch.FloatStorage")
+        w.ref(ref_idx)
+        return ref_idx
+
+    # nn.Sequential{ modules = {1: Linear-ish A, 2: Linear-ish B} }
+    w._i32(4); w._i32(w.next_idx); w.next_idx += 1
+    w._raw_str("V 1"); w._raw_str("nn.Sequential")
+    w._i32(3); w._i32(w.next_idx); w.next_idx += 1; w._i32(1)
+    w.string("modules")
+    w._i32(3); w._i32(w.next_idx); w.next_idx += 1; w._i32(2)
+    w.number(1.0)
+    sidx = module("nn.FuzzTiedA")
+    w.number(2.0)
+    module("nn.FuzzTiedB", ref_idx=sidx)
+    p = tmp_path / "tied.t7"
+    p.write_bytes(w.buf.getvalue())
+    obj = read_t7(str(p))
+    mods = flatten_modules(obj)
+    assert [m.torch_type for m in mods] == ["nn.FuzzTiedA", "nn.FuzzTiedB"]
+    np.testing.assert_array_equal(mods[0]["weight"], data.reshape(2, 4))
+    np.testing.assert_array_equal(mods[1]["weight"], data.reshape(2, 4))
+
+
+def test_reader_nested_concat_table_graph(tmp_path):
+    """ConcatTable{ Sequential{ conv }, ConcatTable{ conv, conv } } — the
+    nested-branch graph shape of conditionAdv-style D heads (train.lua:
+    158-180 builds parallel context/pred towers).  flatten_modules must
+    expand the nesting depth-first in numeric order."""
+    w = T7WriterExt()
+
+    def leaf(tag):
+        w._i32(4); w._i32(w.next_idx); w.next_idx += 1
+        w._raw_str("V 1"); w._raw_str("nn.FuzzLeaf")
+        w._i32(3); w._i32(w.next_idx); w.next_idx += 1; w._i32(1)
+        w.string("tag"); w.number(float(tag))
+
+    def container(cls, n, body):
+        w._i32(4); w._i32(w.next_idx); w.next_idx += 1
+        w._raw_str("V 1"); w._raw_str(cls)
+        w._i32(3); w._i32(w.next_idx); w.next_idx += 1; w._i32(1)
+        w.string("modules")
+        w._i32(3); w._i32(w.next_idx); w.next_idx += 1; w._i32(n)
+        body()
+
+    def outer_body():
+        w.number(1.0)
+        container("nn.Sequential", 1, lambda: (w.number(1.0), leaf(10)))
+        w.number(2.0)
+        container("nn.ConcatTable", 2,
+                  lambda: (w.number(1.0), leaf(20),
+                           w.number(2.0), leaf(21)))
+
+    container("nn.ConcatTable", 2, outer_body)
+    p = tmp_path / "concat.t7"
+    p.write_bytes(w.buf.getvalue())
+    obj = read_t7(str(p))
+    assert obj.torch_type == "nn.ConcatTable"
+    mods = flatten_modules(obj)
+    assert [float(m["tag"]) for m in mods] == [10.0, 20.0, 21.0]
+
+
 def test_reader_fuzz_random_trees(tmp_path):
     """Property fuzz: random nested Torch7 object trees (tables, numbers,
     strings, booleans, nil, tensors of random rank, torch objects) written

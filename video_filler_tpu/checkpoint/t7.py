@@ -51,11 +51,27 @@ _STORAGE_DTYPES = {
     "torch.ShortStorage": ("h", 2),
     "torch.IntStorage": ("i", 4),
     "torch.LongStorage": ("q", 8),
+    "torch.HalfStorage": ("e", 2),
+    # GPU-typed storages: a checkpoint torch.save()d without :float()
+    # conversion (util.lua:72-81 clears buffers but cudnn-converted nets keep
+    # Cuda tensors) serializes the SAME wire format under cutorch class
+    # names — elements are the matching host scalar type.
+    "torch.CudaStorage": ("f", 4),
+    "torch.CudaDoubleStorage": ("d", 8),
+    "torch.CudaByteStorage": ("B", 1),
+    "torch.CudaCharStorage": ("b", 1),
+    "torch.CudaShortStorage": ("h", 2),
+    "torch.CudaIntStorage": ("i", 4),
+    "torch.CudaLongStorage": ("q", 8),
+    "torch.CudaHalfStorage": ("e", 2),
 }
 _TENSOR_CLASSES = {
     "torch.FloatTensor", "torch.DoubleTensor", "torch.ByteTensor",
     "torch.CharTensor", "torch.ShortTensor", "torch.IntTensor",
-    "torch.LongTensor", "torch.CudaTensor",
+    "torch.LongTensor", "torch.HalfTensor",
+    "torch.CudaTensor", "torch.CudaDoubleTensor", "torch.CudaByteTensor",
+    "torch.CudaCharTensor", "torch.CudaShortTensor", "torch.CudaIntTensor",
+    "torch.CudaLongTensor", "torch.CudaHalfTensor",
 }
 
 
