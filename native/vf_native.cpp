@@ -210,6 +210,56 @@ int vf_image_size(const char* path, int* h, int* w) {
   return 0;
 }
 
+// Decode + short-side-resize `n` single frames in parallel (the wholeim /
+// logo donkeys' heavy per-sample work, datavid/donkey_wholeim.lua:141-216 —
+// full-frame decode, no crop: the translate/slice geometry is data-dependent
+// and stays with the caller).  out[i] is a max_h*max_w*3 slot, frame rows
+// packed at stride max_w*3 from the top-left; hw[i*2..] = (h, w) after the
+// resize, (0, 0) on failure (decode error or resized frame exceeding the
+// slot).  Returns the number of failed frames; the caller Python-decodes
+// those with identical error semantics to the clip path.
+int vf_load_frames(const char** paths, int n, int load_size, int max_h,
+                   int max_w, uint8_t* out, int* hw, int n_threads) {
+  std::atomic<int> next(0), failures(0);
+  const size_t slot = size_t(max_h) * max_w * 3;
+
+  auto worker = [&]() {
+    for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
+      Image img;
+      bool ok = decode_file(paths[i], &img);
+      if (ok) {
+        short_side_resize(&img, load_size);
+        ok = img.h <= max_h && img.w <= max_w;
+      }
+      uint8_t* dst = out + slot * i;
+      if (!ok) {
+        hw[i * 2 + 0] = 0;
+        hw[i * 2 + 1] = 0;
+        failures.fetch_add(1);
+        continue;
+      }
+      hw[i * 2 + 0] = img.h;
+      hw[i * 2 + 1] = img.w;
+      for (int y = 0; y < img.h; ++y) {
+        memcpy(dst + size_t(y) * max_w * 3,
+               img.data.data() + size_t(y) * img.w * 3, size_t(img.w) * 3);
+      }
+    }
+  };
+
+  int nt = n_threads > 0 ? n_threads : int(std::thread::hardware_concurrency());
+  if (nt > n) nt = n;
+  if (nt <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(nt);
+    for (int i = 0; i < nt; ++i) pool.emplace_back(worker);
+    for (auto& t : pool) t.join();
+  }
+  return failures.load();
+}
+
 // Load `n_clips` clips of `frames` files each (paths flat, row-major).
 // Per clip: decode frames, short-side resize to load_size, apply ONE random
 // crop (seeded) shared by all frames, write channel-folded uint8 to

@@ -35,31 +35,37 @@ def main() -> None:
                                     h=360, w=480)
         synthetic.make_mask_png(os.path.join(root, "mask.png"), h=360, w=480)
 
-    for native in (True, False):
-        os.environ["VF_NO_NATIVE"] = "" if native else "1"
-        opt = Opt(DATA_ROOT=root, maskName=os.path.join(root, "mask.png"),
-                  loadSize=240, fineSize=128, predLen=4, batchSize=batch,
-                  nThreads=threads)
-        sampler, _ = make_sampler(opt, "video")
-        with DataLoader(sampler, opt.nThreads, seed=1) as loader:
-            loader.get_batch()  # warm the queue/workers
-            # Pops that drain batches produced BEFORE t0 (up to the pipeline's
-            # in-flight capacity: queued + in worker hands) are free and would
-            # inflate the rate; time a fixed window and exclude that credit.
-            in_flight = max(threads, 1) * 3
-            t0 = time.perf_counter()
-            nb = 0
-            while (time.perf_counter() - t0) < 20.0 or nb <= in_flight * 2:
-                loader.get_batch()
-                nb += 1
-            dt = time.perf_counter() - t0
-        clips = max(nb - in_flight, 1) * batch / dt
-        cores = os.cpu_count() or 1
-        print(f"{'native C++' if native else 'pure python'}: "
-              f"{clips:,.0f} clips/s = {clips * opt.predLen:,.0f} frames "
-              f"decoded+cropped/s on {cores} core(s) "
-              f"(= {clips * opt.predLen / cores:,.0f} frames/s/core; "
-              f"{threads} loader threads, predLen=4, loadSize=240)")
+    regimes = (("video", 4), ("wholeim", 1))
+    for regime, frames_per in regimes:
+        for native in (True, False):
+            os.environ["VF_NO_NATIVE"] = "" if native else "1"
+            opt = Opt(DATA_ROOT=root, maskName=os.path.join(root, "mask.png"),
+                      loadSize=240, fineSize=128, predLen=4, batchSize=batch,
+                      nThreads=threads)
+            sampler, _ = make_sampler(opt, regime)
+            with DataLoader(sampler, opt.nThreads, seed=1) as loader:
+                loader.get_batch()  # warm the queue/workers
+                # Pops that drain batches produced BEFORE t0 (up to the
+                # pipeline's in-flight capacity: queued + in worker hands)
+                # are free and would inflate the rate; time a fixed window
+                # and exclude that credit.
+                in_flight = max(threads, 1) * 3
+                t0 = time.perf_counter()
+                nb = 0
+                while (time.perf_counter() - t0) < 20.0 or nb <= in_flight * 2:
+                    loader.get_batch()
+                    nb += 1
+                dt = time.perf_counter() - t0
+            clips = max(nb - in_flight, 1) * batch / dt
+            cores = os.cpu_count() or 1
+            frames = clips * frames_per
+            detail = (f"predLen=4" if regime == "video"
+                      else "full frame + translate + 3x3 slice")
+            print(f"{regime} {'native C++' if native else 'pure python'}: "
+                  f"{clips:,.0f} samples/s = {frames:,.0f} frames "
+                  f"decoded+processed/s on {cores} core(s) "
+                  f"(= {frames / cores:,.0f} frames/s/core; "
+                  f"{threads} loader threads, {detail}, loadSize=240)")
 
 
 if __name__ == "__main__":

@@ -192,6 +192,85 @@ def test_native_video_sampler_mask_alignment(video_root):
     np.testing.assert_array_equal(batch["mask"], batch2["mask"])
 
 
+def test_native_frames_loader_parity(image_root):
+    """vf_load_frames (the wholeim/logo decode path): full frames decode +
+    short-side-resize into padded slots matching the Python decoder."""
+    from video_filler_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    idx = FolderIndex(image_root, use_cache=False)
+    paths = idx.get(0, 3)
+    buf, hw, fails = native.load_frames(paths, 140, 3 * 140, 3 * 140)
+    assert fails == 0
+    for i, p in enumerate(paths):
+        h, w = hw[i]
+        assert (h, w) == (140, 175)
+        ref = short_side_resize(decode_image(p), 140).astype(int)
+        assert np.abs(ref - buf[i, :h, :w].astype(int)).mean() < 2.0
+    # a frame exceeding the slot reports failure, not a silent truncation
+    buf2, hw2, fails2 = native.load_frames(paths[:1], 140, 100, 100)
+    assert fails2 == 1 and tuple(hw2[0]) == (0, 0)
+
+
+def test_native_wholeim_and_logo_samplers_engage(video_root, tmp_path,
+                                                 monkeypatch):
+    """The wholeim/logo samplers route their decode through the native pool
+    when available (the heaviest per-sample host work of any regime) and
+    still produce valid batches."""
+    from video_filler_tpu.data import native
+    from video_filler_tpu.data import pipeline as pl
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    calls = []
+    real_lf = native.load_frames
+    monkeypatch.setattr(pl.native, "load_frames",
+                        lambda *a, **k: calls.append(1) or real_lf(*a, **k))
+
+    opt = Opt(batchSize=2, loadSize=360, fineSize=128,
+              maskName=os.path.join(video_root, "mask.png"))
+    corpus = VideoCorpus(video_root)
+    mask = load_mask(opt.maskName)
+    batch = wholeim_sampler(opt, corpus, mask)(np.random.RandomState(2))
+    assert batch["raw_masked"].shape == (2, 128, 128, 27)
+    assert calls, "wholeim sampler did not use the native decode pool"
+
+    calls.clear()
+    masked_root, gt_root = synthetic.make_paired_folders(str(tmp_path), n=4)
+    optl = Opt(batchSize=2, loadSize=140, fineSize=128)
+    paired = PairedIndex(masked_root, gt_root)
+    lb = logo_sampler(optl, paired)(np.random.RandomState(0))
+    assert lb["raw_masked"].shape == (2, 128, 128, 3)
+    assert calls, "logo sampler did not use the native decode pool"
+    # pairs still share the crop through the native path
+    diff = lb["raw_masked"].astype(int) - lb["raw_gt"].astype(int)
+    assert (np.abs(diff) > 0).mean() < 0.5
+
+
+def test_corrupt_wholeim_corpus_fails_loudly(tmp_path):
+    """wholeim native path keeps the video path's failure semantics: a
+    corrupt frame falls back to Python decode, which raises naming the
+    file — never a silent zero-frame."""
+    from video_filler_tpu.data.synthetic import make_mask_png, make_video_corpus
+
+    root = tmp_path / "c"
+    make_video_corpus(str(root), n_videos=1, frames=4, h=180, w=240)
+    make_mask_png(str(root / "mask.png"), h=180, w=240)
+    for variant in ("gt", "gt1"):
+        if not (root / variant).is_dir():
+            continue
+        for p in sorted(os.listdir(root / variant)):
+            (root / variant / p).write_bytes(b"garbage")
+
+    opt = Opt(batchSize=2, loadSize=150, fineSize=128,
+              maskName=str(root / "mask.png"))
+    corpus = VideoCorpus(str(root))
+    mask = load_mask(opt.maskName)
+    with pytest.raises(OSError, match="decode"):
+        wholeim_sampler(opt, corpus, mask)(np.random.RandomState(0))
+
+
 def test_video_corpus_per_video_start_offsets(tmp_path):
     """Videos whose frame numbering starts at different values must sample
     existing paths (a single global start would point video B at frames

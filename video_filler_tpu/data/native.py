@@ -77,6 +77,11 @@ def _load() -> ctypes.CDLL | None:
         lib.vf_image_size.argtypes = [ctypes.c_char_p,
                                       ctypes.POINTER(ctypes.c_int),
                                       ctypes.POINTER(ctypes.c_int)]
+        lib.vf_load_frames.restype = ctypes.c_int
+        lib.vf_load_frames.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -119,3 +124,27 @@ def load_clips(clip_paths: list[list[str]], load_size: int, crop: int,
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         n_threads)
     return out, offsets, fails
+
+
+def load_frames(paths: list[str], load_size: int, max_h: int, max_w: int,
+                n_threads: int = 0) -> tuple[np.ndarray, np.ndarray, int]:
+    """Decode + short-side-resize full frames in parallel (no crop) — the
+    wholeim/logo donkeys' heavy per-sample work.
+
+    Returns (buf (n, max_h, max_w, 3) uint8 — frame i occupies
+             buf[i, :h, :w]; hw (n, 2) int32 [h, w], (0, 0) = this frame
+             failed (decode error / exceeds the slot); n_failures).
+    """
+    lib = _load()
+    assert lib is not None
+    n = len(paths)
+    flat = [p.encode() for p in paths]
+    arr = (ctypes.c_char_p * n)(*flat)
+    buf = np.empty((n, max_h, max_w, 3), np.uint8)
+    hw = np.zeros((n, 2), np.int32)
+    fails = lib.vf_load_frames(
+        arr, n, load_size, max_h, max_w,
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        hw.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        n_threads)
+    return buf, hw, fails

@@ -91,15 +91,33 @@ def center_sampler(opt: Opt, index: FolderIndex,
 
 def logo_sampler(opt: Opt, paired: PairedIndex) -> Callable:
     """Masked/gt pairs with the SAME crop applied to both
-    (data/donkey_folder_logo.lua:72-99; flip happens on device, also shared)."""
+    (data/donkey_folder_logo.lua:72-99; flip happens on device, also shared).
+
+    Decode + resize of the 2B images per batch runs on the native GIL-free
+    pool when available; per-image Python fallback keeps error semantics
+    (pair size mismatch still raises) identical either way."""
     fs = opt.fineSize
+    use_native = _use_native(opt) and opt.loadSize > 0
+    max_hw = opt.loadSize * 3
 
     def sample(rs: np.random.RandomState) -> Batch:
         masked = np.empty((opt.batchSize, fs, fs, opt.nc), np.uint8)
         gt = np.empty_like(masked)
-        for i, (pm, pg) in enumerate(paired.sample(rs, opt.batchSize)):
-            im = decode.load_and_resize(pm, opt.loadSize, opt.nc)
-            ig = decode.load_and_resize(pg, opt.loadSize, opt.nc)
+        pairs = paired.sample(rs, opt.batchSize)
+        buf = hw = None
+        if use_native:
+            flat = [p for pair in pairs for p in pair]  # masked, gt, ...
+            buf, hw, _fails = native.load_frames(flat, opt.loadSize,
+                                                 max_hw, max_hw)
+
+        def frame(k, path):
+            if buf is not None and hw[k, 0] != 0:
+                return buf[k, :hw[k, 0], :hw[k, 1]]
+            return decode.load_and_resize(path, opt.loadSize, opt.nc)
+
+        for i, (pm, pg) in enumerate(pairs):
+            im = frame(2 * i, pm)
+            ig = frame(2 * i + 1, pg)
             if im.shape != ig.shape:
                 raise ValueError(
                     f"paired images differ in size: {pm} vs {pg} "
@@ -131,14 +149,21 @@ def video_sampler(opt: Opt, corpus: VideoCorpus,
     fs, pl, nc = opt.fineSize, opt.predLen, opt.nc
     use_native = _use_native(opt)
     fallback_warned = [False]  # one notice per sampler, not per clip
+    mask_cache: dict[tuple[int, int], np.ndarray] = {}
 
     def _mask_crop(h, w, y, x):
         if mask is None:
             return np.zeros((fs, fs, 1), np.uint8)
-        m = mask
-        if m.shape[:2] != (h, w):
-            m = (decode.resize((m * 255).astype(np.uint8), h, w)
-                 >= 128).astype(np.uint8)
+        # Cached per frame geometry: corpus frames share one size, and
+        # re-resizing the full mask per clip dominated the non-decode host
+        # cost of the native path.
+        m = mask_cache.get((h, w))
+        if m is None:
+            m = mask
+            if m.shape[:2] != (h, w):
+                m = (decode.resize((m * 255).astype(np.uint8), h, w)
+                     >= 128).astype(np.uint8)
+            mask_cache[(h, w)] = m
         return m[y:y + fs, x:x + fs]
 
     def sample_native(rs: np.random.RandomState) -> Batch:
@@ -226,67 +251,117 @@ def wholeim_sampler(opt: Opt, corpus: VideoCorpus,
     """Patch-array regime (datavid/donkey_wholeim.lua:141-216):
     mask-fill the frame, random translate-crop (≤100x70 px, zero re-padded),
     hflip p=0.4, slice arrh x arrw overlapping fineSize patches into channels;
-    targets = top-left 2x2 patches + their mask."""
+    targets = top-left 2x2 patches + their mask.
+
+    The heavy per-sample work (full-frame decode + resize) runs on the
+    native GIL-free pool when available; the translate/slice geometry is
+    data-dependent and stays in numpy.  Frames the native decoder rejects
+    (corrupt / extreme aspect exceeding the slot) fall back to Python decode
+    PER FRAME with identical error semantics — native availability never
+    changes which configs work."""
     fs = opt.fineSize
     arrh, arrw = opt.array_h, opt.array_w
     outh, outw = opt.out_h, opt.out_w
     nc = opt.nc
     fill = int(round(opt.maskValue * 255.0))
+    # loadSize>0 bounds the resized frame: short side == loadSize, long side
+    # capped at 3x (beyond -> per-frame Python fallback, no slot limit there).
+    use_native = _use_native(opt) and opt.loadSize > 0
+    max_hw = opt.loadSize * 3
+    mask_cache: dict[tuple[int, int], np.ndarray] = {}
 
-    def sample_one(rs):
-        while True:
-            path = corpus.sample_clip(rs, 1, split)[0]
-            img = decode.load_and_resize(path, opt.loadSize, nc, rs)
-            h, w = img.shape[:2]
+    def _mask_at(h, w):
+        """Mask rescaled to the frame — cached: corpus frames share one
+        geometry, and re-resizing per sample dominated the host cost."""
+        m = mask_cache.get((h, w))
+        if m is None:
             m = mask
             if m.shape[:2] != (h, w):
                 m = (decode.resize((m * 255).astype(np.uint8), h, w)
                      >= 128).astype(np.uint8)
-            m3 = np.broadcast_to(m, img.shape)
-            masked_img = np.where(m3 > 0, np.uint8(fill), img)
+            mask_cache[(h, w)] = m
+        return m
 
-            # random translate-crop, content shifted toward the origin and the
-            # freed border zero-padded (donkey_wholeim.lua:168-174)
-            cw, ch_ = rs.randint(1, 101), rs.randint(1, 71)
-            def translate(a):
-                out = np.zeros_like(a)
-                out[: h - ch_ + 1, : w - cw + 1] = a[ch_ - 1:, cw - 1:]
-                return out
-            img_t, m_t, masked_t = translate(img), translate(m3), \
-                translate(masked_img)
-            if rs.rand() > 0.6:  # hflip p=0.4
-                img_t, m_t, masked_t = (np.ascontiguousarray(a[:, ::-1])
-                                        for a in (img_t, m_t, masked_t))
-            if img_t[:fs, :fs].mean() < 0.1 * 255 and rs.rand() <= 0.9:
-                continue  # dark top-left patch rejection (keep p=0.1)
+    def _transform(rs, img):
+        """Mask-fill + translate + flip + dark-check + slice one decoded
+        frame; None = dark-rejected (the caller redraws)."""
+        h, w = img.shape[:2]
+        m3 = np.broadcast_to(_mask_at(h, w), img.shape)
+        masked_img = np.where(m3 > 0, np.uint8(fill), img)
 
-            steph = (h - fs) // (arrh - 1)
-            stepw = (w - fs) // (arrw - 1)
-            masked_patches = np.empty((fs, fs, nc * arrh * arrw), np.uint8)
-            out_patches = np.empty((fs, fs, nc * outh * outw), np.uint8)
-            mask_patches = np.zeros((fs, fs, nc * outh * outw), np.uint8)
-            pi = 0
-            for hi in range(arrh):
-                for wi in range(arrw):
-                    y, x = hi * steph, wi * stepw
-                    masked_patches[..., pi * nc:(pi + 1) * nc] = \
-                        masked_t[y:y + fs, x:x + fs]
-                    if hi < outh and wi < outw:
-                        oi = hi * outw + wi
-                        out_patches[..., oi * nc:(oi + 1) * nc] = \
-                            img_t[y:y + fs, x:x + fs]
-                        mask_patches[..., oi * nc:(oi + 1) * nc] = \
-                            m_t[y:y + fs, x:x + fs]
-                    pi += 1
-            return masked_patches, out_patches, mask_patches
+        # random translate-crop, content shifted toward the origin and the
+        # freed border zero-padded (donkey_wholeim.lua:168-174)
+        cw, ch_ = rs.randint(1, 101), rs.randint(1, 71)
+
+        def translate(a):
+            out = np.zeros_like(a)
+            out[: h - ch_ + 1, : w - cw + 1] = a[ch_ - 1:, cw - 1:]
+            return out
+
+        img_t, m_t, masked_t = translate(img), translate(m3), \
+            translate(masked_img)
+        if rs.rand() > 0.6:  # hflip p=0.4
+            img_t, m_t, masked_t = (np.ascontiguousarray(a[:, ::-1])
+                                    for a in (img_t, m_t, masked_t))
+        if img_t[:fs, :fs].mean() < 0.1 * 255 and rs.rand() <= 0.9:
+            return None  # dark top-left patch rejection (keep p=0.1)
+
+        steph = (h - fs) // (arrh - 1)
+        stepw = (w - fs) // (arrw - 1)
+        masked_patches = np.empty((fs, fs, nc * arrh * arrw), np.uint8)
+        out_patches = np.empty((fs, fs, nc * outh * outw), np.uint8)
+        mask_patches = np.zeros((fs, fs, nc * outh * outw), np.uint8)
+        pi = 0
+        for hi in range(arrh):
+            for wi in range(arrw):
+                y, x = hi * steph, wi * stepw
+                masked_patches[..., pi * nc:(pi + 1) * nc] = \
+                    masked_t[y:y + fs, x:x + fs]
+                if hi < outh and wi < outw:
+                    oi = hi * outw + wi
+                    out_patches[..., oi * nc:(oi + 1) * nc] = \
+                        img_t[y:y + fs, x:x + fs]
+                    mask_patches[..., oi * nc:(oi + 1) * nc] = \
+                        m_t[y:y + fs, x:x + fs]
+                pi += 1
+        return masked_patches, out_patches, mask_patches
+
+    def sample_one(rs):
+        while True:
+            path = corpus.sample_clip(rs, 1, split)[0]
+            r = _transform(rs, decode.load_and_resize(path, opt.loadSize,
+                                                      nc, rs))
+            if r is not None:
+                return r
 
     def sample(rs: np.random.RandomState) -> Batch:
         b = opt.batchSize
         masked = np.empty((b, fs, fs, nc * arrh * arrw), np.uint8)
         real = np.empty((b, fs, fs, nc * outh * outw), np.uint8)
         msk = np.empty((b, fs, fs, nc * outh * outw), np.uint8)
-        for i in range(b):
-            masked[i], real[i], msk[i] = sample_one(rs)
+        if not use_native:
+            for i in range(b):
+                masked[i], real[i], msk[i] = sample_one(rs)
+            return {"raw_masked": masked, "raw_real": real, "mask": msk}
+        pending = list(range(b))
+        while pending:
+            paths = [corpus.sample_clip(rs, 1, split)[0] for _ in pending]
+            buf, hw, fails = native.load_frames(paths, opt.loadSize,
+                                                max_hw, max_hw)
+            still = []
+            for j, i in enumerate(pending):
+                if hw[j, 0] == 0:  # native rejection: Python-decode THIS
+                    # frame (descriptive error on corrupt data)
+                    img = decode.load_and_resize(paths[j], opt.loadSize,
+                                                 nc, rs)
+                else:
+                    img = buf[j, :hw[j, 0], :hw[j, 1]]
+                r = _transform(rs, img)
+                if r is None:
+                    still.append(i)  # dark: redraw like the Python path
+                    continue
+                masked[i], real[i], msk[i] = r
+            pending = still
         return {"raw_masked": masked, "raw_real": real, "mask": msk}
 
     return sample
