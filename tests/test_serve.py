@@ -176,3 +176,42 @@ def test_serve_overload_and_expiry(tmp_path):
         assert srv.stats()["expired"] == 1
     finally:
         srv.close()
+
+
+def test_serve_video3d_folded_clips(tmp_path):
+    """video3d serving: the wire format stays channel-folded (same client
+    code as the video regime); serve unfolds around the temporal G and
+    composites inside the mask.  Parity vs a direct unfolded forward."""
+    import jax.numpy as jnp
+
+    from video_filler_tpu.eval.common import load_generator
+    from video_filler_tpu.ops import image as image_ops
+    from video_filler_tpu.ops.layers3d import fold_time, unfold_time
+
+    opt = Opt(predLen=2, batchSize=2, video3dLevels=5, **TINY)
+    state = init_train_state(jax.random.PRNGKey(0), opt, "video3d")
+    path = save_checkpoint(str(tmp_path), "v3", 1, state)
+    srv = InpaintServer(opt, "video3d", path, port=0, max_delay_ms=1.0)
+    try:
+        rs = np.random.RandomState(3)
+        ctx = rs.randint(0, 256, (128, 128, 6), np.uint8)
+        out = _post(srv.port, ctx=ctx)  # raw folded prediction
+        assert out.shape == ctx.shape and out.dtype == np.uint8
+
+        fwd, params, bn = load_generator(opt, "video3d", path)
+        x = image_ops.normalize_uint8(jnp.asarray(ctx[None]))
+        y = fwd(params, bn, unfold_time(x, opt.predLen))
+        want = np.asarray(image_ops.denormalize_to_uint8(
+            fold_time(y).astype(jnp.float32)))[0]
+        np.testing.assert_array_equal(out, want)
+
+        # mask composite: ctx outside, temporal prediction inside
+        mask = np.zeros((128, 128, 1), np.uint8)
+        mask[30:70, 50:90] = 1
+        out2 = _post(srv.port, ctx=ctx, mask=mask)
+        np.testing.assert_array_equal(out2[mask[..., 0] == 0],
+                                      ctx[mask[..., 0] == 0])
+        np.testing.assert_array_equal(out2[mask[..., 0] == 1],
+                                      out[mask[..., 0] == 1])
+    finally:
+        srv.close()

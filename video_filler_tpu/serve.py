@@ -23,7 +23,10 @@ API (all numpy .npz bodies):
                       outside = ctx (absent mask = full G output).
                       center regime: the predicted 64^2 hole is pasted back
                       into ctx (demo.lua:73-76 semantics, overlapPred ring
-                      kept from the context) — no mask input needed}
+                      kept from the context) — no mask input needed.
+                      video3d: ctx/out are channel-folded clips
+                      (S, S, nc*predLen), same wire format as video; the
+                      temporal G runs on the unfolded (T, S, S, nc) clip}
   GET  /stats     {"requests", "items", "batches", "expired", "rejected",
                    "avg_fill", "p50_ms", "p95_ms"}
   GET  /healthz   200 "ok"
@@ -80,33 +83,47 @@ class InpaintServer:
         if opt.noiseGen:
             raise SystemExit("serve does not support noiseGen generators "
                              "(their input is a (ctx, z) pair)")
-        if regime == "video3d":
-            raise SystemExit("serve covers the 2D regimes; for temporal-3D "
-                             "clips use eval/stream.py")
-        gspec, _ = specs_for_regime(opt, regime)
-        self.nc_in = gspec.nc_in
-        # Composite-inside-mask needs output == input geometry (video/logo:
-        # 128^2 -> 128^2 same channels).  center predicts the 64^2 hole,
-        # which pastes back into a fixed region of ctx (demo.lua:73-76) —
-        # full inpainted frame out, no mask input.  wholeim predicts
-        # different channels — it serves the raw G output.
-        self.composable = (gspec.nc_in == gspec.nc_out
-                           and gspec.out_size == self.fs)
+        self.video3d = regime == "video3d"
+        if self.video3d:
+            # Same wire format as the video regime — channel-folded uint8
+            # clips (B, S, S, nc*predLen); serve unfolds to (B, T, S, S, nc)
+            # around the temporal G and folds the prediction back.
+            self.fs = 4 * 2 ** opt.video3dLevels
+            self.nc_in = opt.nc * opt.predLen
+            self.composable = True
+        else:
+            gspec, _ = specs_for_regime(opt, regime)
+            self.nc_in = gspec.nc_in
+            # Composite-inside-mask needs output == input geometry (video/
+            # logo: 128^2 -> 128^2 same channels).  center predicts the 64^2
+            # hole, which pastes back into a fixed region of ctx
+            # (demo.lua:73-76) — full inpainted frame out, no mask input.
+            # wholeim predicts different channels — it serves the raw G
+            # output.
+            self.composable = (gspec.nc_in == gspec.nc_out
+                               and gspec.out_size == self.fs)
         self.center_paste = regime == "center"
         self.max_delay = max_delay_ms / 1000.0
         _, self._params, self._bn = load_generator(opt, regime, net_path)
         from video_filler_tpu.models import build_for_regime
         gen = build_for_regime(opt, regime)[0]
         composable, center_paste = self.composable, self.center_paste
+        video3d, pred_len = self.video3d, opt.predLen
         overlap = opt.overlapPred
 
         from video_filler_tpu.ops import image as image_ops
         from video_filler_tpu.ops import masks as mask_ops
+        from video_filler_tpu.ops.layers3d import fold_time, unfold_time
 
         @jax.jit
         def serve_fn(params, bn_state, ctx_u8, mask_u8):
             x = image_ops.normalize_uint8(ctx_u8)
-            y, _ = gen.apply(params, bn_state, x, train=False)
+            if video3d:
+                y, _ = gen.apply(params, bn_state,
+                                 unfold_time(x, pred_len), train=False)
+                y = fold_time(y)
+            else:
+                y, _ = gen.apply(params, bn_state, x, train=False)
             out = y.astype(jnp.float32)
             if composable:
                 # Binarize: clients commonly send 0/255 masks (PNG decode);
