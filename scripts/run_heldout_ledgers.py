@@ -1,0 +1,74 @@
+"""Held-out learning-dynamics ledgers (VERDICT r2 next-round item 1).
+
+Re-runs the three round-2 on-chip dynamics runs (center/video/video3d,
+BASELINE.md:63-65) with split=80 so each corpus reserves a held-out tail
+(center: the last 20% of the folder images; video: the last ~13 frames of
+each 64-frame video), then evaluates init/~800/3000-step checkpoints on
+BOTH splits.  Same protocol as round 2 otherwise: synthetic corpora,
+seed 222, n_batches=4 eval.  NOTE split=80 shrinks the train set to 205
+images / 204 frames -> 3 steps/epoch at batch 64 (6 at batch 32), hence
+the adjusted niter/checkpointEvery to land on the same step counts.
+"""
+import sys, os, json
+sys.path.insert(0, "/root/repo")
+os.chdir("/tmp/heldout3")
+import jax
+from video_filler_tpu.config import Opt
+from video_filler_tpu.train.loop import train
+from video_filler_tpu.train.step import init_train_state
+from video_filler_tpu.checkpoint import save_checkpoint
+from video_filler_tpu.eval.metrics import evaluate
+
+RESULTS = []
+
+
+def run(regime, opt, spe):
+    state0 = init_train_state(jax.random.PRNGKey(opt.manualSeed), opt, regime)
+    p0 = save_checkpoint("checkpoints", f"{opt.name}_init", 0,
+                         jax.device_get(state0))
+    del state0
+    state = train(opt, regime, max_steps=3000)
+    final = f"checkpoints/{opt.name}_{opt.niter}_state.npz"
+    if not os.path.exists(final):  # max_steps can stop before the epoch save
+        final = save_checkpoint("checkpoints", f"{opt.name}_final", 999,
+                                jax.device_get(state))
+    del state
+    mid_ep = opt.checkpointEvery
+    ckpts = [("init", p0),
+             (f"step{mid_ep * spe}",
+              f"checkpoints/{opt.name}_{mid_ep}_state.npz"),
+             (f"step{opt.niter * spe}", final)]
+    for tag, path in ckpts:
+        if not os.path.exists(path):
+            print(f"MISSING {path}", flush=True)
+            continue
+        for es in ("train", "test"):
+            m = evaluate(opt.replace(net=path, evalSplit=es), regime,
+                         n_batches=4)
+            row = {"regime": regime, "ckpt": tag, "evalSplit": es,
+                   **{k: round(float(v), 4) for k, v in m.items()}}
+            RESULTS.append(row)
+            print("ROW", json.dumps(row), flush=True)
+
+
+common = dict(loadSize=150, fineSize=128, nBottleneck=4000, wtl2=0.999,
+              ntrain=256, nThreads=2, manualSeed=222, display=False,
+              logEvery=400, split=80)
+
+run("center",
+    Opt(DATA_ROOT="images", batchSize=64, overlapPred=4, niter=1000,
+        checkpointEvery=267, name="hc", **common), spe=3)
+
+run("video",
+    Opt(DATA_ROOT="corpus", maskName="mask.png", batchSize=64, predLen=2,
+        weight_nomask=0.05, niter=1000, checkpointEvery=267, name="hv",
+        **common), spe=3)
+
+run("video3d",
+    Opt(DATA_ROOT="corpus", maskName="mask.png", batchSize=32, predLen=4,
+        weight_nomask=0.05, niter=500, checkpointEvery=133, name="h3",
+        **common), spe=6)
+
+with open("heldout_results.json", "w") as f:
+    json.dump(RESULTS, f, indent=1)
+print("ALL-DONE", len(RESULTS), flush=True)
