@@ -109,11 +109,11 @@ bool decode_file(const char* path, Image* out) {
 
 // Fixed-point bilinear resize with precomputed horizontal LUTs; the
 // horizontal pass is done once into a per-row int16 cache and reused for the
-// vertical blend (classic separable two-pass schedule).
-void resize_bilinear(const Image& src, int nh, int nw, Image* dst) {
-  dst->h = nh;
-  dst->w = nw;
-  dst->data.resize(size_t(nh) * nw * 3);
+// vertical blend (classic separable two-pass schedule).  `out`/`row_stride`:
+// destination rows (stride in bytes) — lets vf_load_frames resize straight
+// into its padded slot without an intermediate full-frame copy.
+void resize_bilinear_into(const Image& src, int nh, int nw, uint8_t* out,
+                          size_t row_stride) {
   const float sy = nh > 1 ? float(src.h - 1) / (nh - 1) : 0.f;
   const float sx = nw > 1 ? float(src.w - 1) / (nw - 1) : 0.f;
 
@@ -163,7 +163,7 @@ void resize_bilinear(const Image& src, int nh, int nw, Image* dst) {
       hpass(y1, rowB);
       cachedB = y1;
     }
-    uint8_t* drow = dst->data.data() + size_t(y) * nw * 3;
+    uint8_t* drow = out + size_t(y) * row_stride;
     const int n3 = nw * 3;
     for (int i = 0; i < n3; ++i) {
       drow[i] = uint8_t((rowA[i] * iwy + rowB[i] * wy + (1 << 15)) >> 16);
@@ -171,16 +171,31 @@ void resize_bilinear(const Image& src, int nh, int nw, Image* dst) {
   }
 }
 
+void resize_bilinear(const Image& src, int nh, int nw, Image* dst) {
+  dst->h = nh;
+  dst->w = nw;
+  dst->data.resize(size_t(nh) * nw * 3);
+  resize_bilinear_into(src, nh, nw, dst->data.data(), size_t(nw) * 3);
+}
+
+// (nh, nw) of a short-side resize to load_size; (h, w) if load_size <= 0.
+void short_side_dims(const Image& img, int load_size, int* nh, int* nw) {
+  if (load_size <= 0) {
+    *nh = img.h;
+    *nw = img.w;
+  } else if (img.w < img.h) {
+    *nw = load_size;
+    *nh = int(0.5 + double(load_size) * img.h / img.w);
+  } else {
+    *nh = load_size;
+    *nw = int(0.5 + double(load_size) * img.w / img.h);
+  }
+}
+
 void short_side_resize(Image* img, int load_size) {
   if (load_size <= 0) return;
   int nh, nw;
-  if (img->w < img->h) {
-    nw = load_size;
-    nh = int(0.5 + double(load_size) * img->h / img->w);
-  } else {
-    nh = load_size;
-    nw = int(0.5 + double(load_size) * img->w / img->h);
-  }
+  short_side_dims(*img, load_size, &nh, &nw);
   if (nh == img->h && nw == img->w) return;
   Image out;
   resize_bilinear(*img, nh, nw, &out);
@@ -226,10 +241,11 @@ int vf_load_frames(const char** paths, int n, int load_size, int max_h,
   auto worker = [&]() {
     for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
       Image img;
+      int nh = 0, nw = 0;
       bool ok = decode_file(paths[i], &img);
       if (ok) {
-        short_side_resize(&img, load_size);
-        ok = img.h <= max_h && img.w <= max_w;
+        short_side_dims(img, load_size, &nh, &nw);
+        ok = nh <= max_h && nw <= max_w;
       }
       uint8_t* dst = out + slot * i;
       if (!ok) {
@@ -238,11 +254,15 @@ int vf_load_frames(const char** paths, int n, int load_size, int max_h,
         failures.fetch_add(1);
         continue;
       }
-      hw[i * 2 + 0] = img.h;
-      hw[i * 2 + 1] = img.w;
-      for (int y = 0; y < img.h; ++y) {
-        memcpy(dst + size_t(y) * max_w * 3,
-               img.data.data() + size_t(y) * img.w * 3, size_t(img.w) * 3);
+      hw[i * 2 + 0] = nh;
+      hw[i * 2 + 1] = nw;
+      if (nh == img.h && nw == img.w) {  // no resize: copy rows into the slot
+        for (int y = 0; y < nh; ++y) {
+          memcpy(dst + size_t(y) * max_w * 3,
+                 img.data.data() + size_t(y) * nw * 3, size_t(nw) * 3);
+        }
+      } else {  // resize straight into the strided slot — no temp frame
+        resize_bilinear_into(img, nh, nw, dst, size_t(max_w) * 3);
       }
     }
   };

@@ -127,20 +127,27 @@ def load_clips(clip_paths: list[list[str]], load_size: int, crop: int,
 
 
 def load_frames(paths: list[str], load_size: int, max_h: int, max_w: int,
-                n_threads: int = 0) -> tuple[np.ndarray, np.ndarray, int]:
+                n_threads: int = 0, out: np.ndarray | None = None
+                ) -> tuple[np.ndarray, np.ndarray, int]:
     """Decode + short-side-resize full frames in parallel (no crop) — the
     wholeim/logo donkeys' heavy per-sample work.
 
     Returns (buf (n, max_h, max_w, 3) uint8 — frame i occupies
              buf[i, :h, :w]; hw (n, 2) int32 [h, w], (0, 0) = this frame
              failed (decode error / exceeds the slot); n_failures).
-    """
+    ``out``: caller-owned slot buffer to reuse across batches (its first n
+    slots are used; allocating tens of MB per batch measurably slowed the
+    wholeim pump)."""
     lib = _load()
     assert lib is not None
     n = len(paths)
     flat = [p.encode() for p in paths]
     arr = (ctypes.c_char_p * n)(*flat)
-    buf = np.empty((n, max_h, max_w, 3), np.uint8)
+    if out is not None and out.shape[0] >= n \
+            and out.shape[1:] == (max_h, max_w, 3):
+        buf = out[:n]
+    else:
+        buf = np.empty((n, max_h, max_w, 3), np.uint8)
     hw = np.zeros((n, 2), np.int32)
     fails = lib.vf_load_frames(
         arr, n, load_size, max_h, max_w,

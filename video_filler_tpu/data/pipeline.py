@@ -98,7 +98,8 @@ def logo_sampler(opt: Opt, paired: PairedIndex) -> Callable:
     (pair size mismatch still raises) identical either way."""
     fs = opt.fineSize
     use_native = _use_native(opt) and opt.loadSize > 0
-    max_hw = opt.loadSize * 3
+    max_hw = opt.loadSize * 2
+    slots = threading.local()  # per-worker slot buffer, reused across batches
 
     def sample(rs: np.random.RandomState) -> Batch:
         masked = np.empty((opt.batchSize, fs, fs, opt.nc), np.uint8)
@@ -106,9 +107,13 @@ def logo_sampler(opt: Opt, paired: PairedIndex) -> Callable:
         pairs = paired.sample(rs, opt.batchSize)
         buf = hw = None
         if use_native:
+            if getattr(slots, "buf", None) is None:
+                slots.buf = np.empty((2 * opt.batchSize, max_hw, max_hw, 3),
+                                     np.uint8)
             flat = [p for pair in pairs for p in pair]  # masked, gt, ...
             buf, hw, _fails = native.load_frames(flat, opt.loadSize,
-                                                 max_hw, max_hw)
+                                                 max_hw, max_hw,
+                                                 out=slots.buf)
 
         def frame(k, path):
             if buf is not None and hw[k, 0] != 0:
@@ -265,9 +270,10 @@ def wholeim_sampler(opt: Opt, corpus: VideoCorpus,
     nc = opt.nc
     fill = int(round(opt.maskValue * 255.0))
     # loadSize>0 bounds the resized frame: short side == loadSize, long side
-    # capped at 3x (beyond -> per-frame Python fallback, no slot limit there).
+    # capped at 2x (beyond -> per-frame Python fallback, no slot limit there).
     use_native = _use_native(opt) and opt.loadSize > 0
-    max_hw = opt.loadSize * 3
+    max_hw = opt.loadSize * 2
+    slots = threading.local()  # per-worker slot buffer, reused across batches
     mask_cache: dict[tuple[int, int], np.ndarray] = {}
 
     def _mask_at(h, w):
@@ -343,11 +349,14 @@ def wholeim_sampler(opt: Opt, corpus: VideoCorpus,
             for i in range(b):
                 masked[i], real[i], msk[i] = sample_one(rs)
             return {"raw_masked": masked, "raw_real": real, "mask": msk}
+        if getattr(slots, "buf", None) is None:
+            slots.buf = np.empty((b, max_hw, max_hw, 3), np.uint8)
         pending = list(range(b))
         while pending:
             paths = [corpus.sample_clip(rs, 1, split)[0] for _ in pending]
             buf, hw, fails = native.load_frames(paths, opt.loadSize,
-                                                max_hw, max_hw)
+                                                max_hw, max_hw,
+                                                out=slots.buf)
             still = []
             for j, i in enumerate(pending):
                 if hw[j, 0] == 0:  # native rejection: Python-decode THIS
