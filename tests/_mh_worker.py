@@ -12,6 +12,10 @@ mode "train" (default): slice-integrity check + end-to-end loop.
 mode "desync": autoResume with a checkpoint visible only to host 0 — the
 loop's collective resume check must abort BOTH processes with a clear error
 (simulates checkpointDir not being a shared filesystem).
+mode "tp": modelParallel=2 spanning the two processes — the TP bottleneck
+leaves are sharded ACROSS hosts; verifies the collective-gather checkpoint
+(save under TP, roundtrip exactness vs the live sharded state) and
+autoResume continuing the run under the same TP mesh.
 """
 
 import os
@@ -30,10 +34,12 @@ def main() -> None:
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_cpu_collectives_implementation", "gloo")
-    from video_filler_tpu.utils import host_keyed_cache_dir
-    cache = host_keyed_cache_dir(os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".jax_cache"))
-    jax.config.update("jax_compilation_cache_dir", cache)
+    # NO persistent compilation cache here: a deserialized XLA:CPU
+    # executable whose program contains CROSS-PROCESS gloo collectives
+    # deadlocks at execution (measured: the identical TP fused step runs
+    # with a cold cache — both processes compile — and hangs on every
+    # warm run where both AOT-load; the DP tests only ever passed because
+    # their caches were cold).  In-memory jit caching still applies.
     jax.distributed.initialize(coordinator_address=f"localhost:{port}",
                                num_processes=2, process_id=pid)
     assert jax.process_count() == 2 and jax.device_count() == 8
@@ -66,6 +72,51 @@ def main() -> None:
             print(f"worker {pid} desync detected as expected")
             return
         raise AssertionError("desync was not detected")
+
+    if mode == "tp":
+        # modelParallel=2 over 8 global devices = data:4 x model:2; the
+        # model axis spans the two processes, so the TP-sharded bottleneck
+        # leaves are NOT addressable from either host alone — checkpointing
+        # them requires the loop's collective gather.
+        from video_filler_tpu.checkpoint import (restore_checkpoint,
+                                                 wait_pending_saves)
+        from video_filler_tpu.train import init_train_state
+
+        opt = Opt(DATA_ROOT=data_root, loadSize=128, wtl2=0.999, nef=8,
+                  ngf=8, ndf=8, nBottleneck=32, batchSize=8, nThreads=0,
+                  niter=1, ntrain=8, manualSeed=222, display=False,
+                  checkpointEvery=1, modelParallel=2,
+                  computeDtype="float32", name="tp")
+        state1 = train(opt, "center", quiet=True)
+        # The bottleneck weight really is cross-process-sharded (else this
+        # mode tests nothing).
+        w = state1.params_g["enc"]["conv5"]["w"]
+        assert not w.is_fully_addressable and not w.is_fully_replicated, \
+            "TP bottleneck leaf unexpectedly addressable"
+        gathered = distributed.gather_pytree(state1)
+        if pid == 0:
+            # Roundtrip exactness: the checkpoint host 0 wrote holds the
+            # full unsharded values of the live TP state.
+            wait_pending_saves()
+            restored, _ = restore_checkpoint(
+                "checkpoints/tp_1_state.npz",
+                jax.device_get(init_train_state(jax.random.PRNGKey(0), opt,
+                                                "center")))
+            for a, b in zip(jax.tree.leaves(gathered),
+                            jax.tree.leaves(restored)):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # Resume under the same TP mesh: save -> (simulated crash) -> new
+        # loop restores the full state and re-shards it over the mesh.
+        state2 = train(opt.replace(autoResume=True, niter=2), "center",
+                       quiet=True)
+        assert int(state2.step) == 2, int(state2.step)
+        flat = np.concatenate(
+            [np.asarray(x).ravel()
+             for x in jax.tree.leaves(distributed.gather_pytree(
+                 state2.params_g))])
+        np.savez(out, step=int(state2.step), params_g=flat)
+        print(f"worker {pid} tp done: step={int(state2.step)}")
+        return
 
     # --- slice integrity: this host's rows land only in this host's shards.
     mesh = parallel.make_mesh(n_data=8)

@@ -74,3 +74,24 @@ def global_batch_from_local(mesh, local_batch: dict[str, np.ndarray]
 
 def data_axis_size(mesh) -> int:
     return mesh.shape[DATA_AXIS]
+
+
+def gather_pytree(tree: Any) -> Any:
+    """Full (unsharded) host-numpy values of a possibly cross-process-sharded
+    pytree — the collective gather behind multi-host TP checkpointing.
+
+    Leaves that are fully replicated (DP params) or process-local are a plain
+    device_get; leaves sharded ACROSS processes (the TP bottleneck weights /
+    their Adam moments) are all-gathered to every host.  MUST be called by
+    every process in lockstep (it runs collectives); with nothing
+    cross-sharded it is equivalent to ``jax.device_get``.
+    """
+    from jax.experimental import multihost_utils
+
+    def one(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable \
+                and not x.is_fully_replicated:
+            return multihost_utils.process_allgather(x, tiled=True)
+        return jax.device_get(x)
+
+    return jax.tree.map(one, tree)

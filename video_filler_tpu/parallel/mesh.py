@@ -135,8 +135,27 @@ def state_shardings(mesh: Mesh, train_state: Any) -> Any:
 
 
 def shard_train_state(mesh: Mesh, train_state: Any) -> Any:
-    """device_put the state with its shardings (replicated or TP-sharded)."""
-    return jax.device_put(train_state, state_shardings(mesh, train_state))
+    """device_put the state with its shardings (replicated or TP-sharded).
+
+    Multi-process: built per-leaf via make_array_from_callback — every host
+    holds the full value (init/restore are deterministic and identical
+    across hosts), so each process just fills its OWN addressable shards;
+    no collectives, no cross-host value checks.  device_put here would
+    instead reshard-from-committed / assert-equal through cross-process
+    programs, which deadlocks the CPU gloo backend (measured: context
+    init timeout) for TP (model-axis) shardings.
+    """
+    shardings = state_shardings(mesh, train_state)
+    if jax.process_count() == 1:
+        return jax.device_put(train_state, shardings)
+    host_state = jax.device_get(train_state)
+
+    def build(x, sh):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sh,
+                                            lambda idx: x[idx])
+
+    return jax.tree.map(build, host_state, shardings)
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:

@@ -101,9 +101,6 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
 
     sampler_opt = opt
     if n_proc > 1:
-        if opt.modelParallel > 1:
-            raise SystemExit("modelParallel > 1 across processes is not "
-                             "supported with checkpointing yet")
         _, per_host = distributed.process_batch_slice(opt.batchSize)
         sampler_opt = opt.replace(batchSize=per_host)
         if opt.display and is_main:
@@ -351,22 +348,34 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
             _flush_log()
             logger.log_epoch(epoch, opt.niter,
                              time.perf_counter() - t_epoch)
-            if epoch % opt.checkpointEvery == 0 and is_main:
-                if opt.keepCheckpoints > 0:
-                    # Prune BEFORE saving: `keep` fully-written checkpoints
-                    # stay on disk even if the incoming async write fails.
-                    from video_filler_tpu.checkpoint import prune_checkpoints
-                    prune_checkpoints(opt.checkpointDir, opt.name,
-                                      opt.keepCheckpoints)
-                # Serialization/disk write happens on a background thread;
-                # only the (mandatory, pre-donation) device fetch blocks.
-                p = save_checkpoint(opt.checkpointDir, opt.name, epoch,
-                                    state, meta={"epoch": epoch,
-                                                 "regime": regime,
-                                                 "seed": seed},
-                                    async_write=True)
-                if not quiet:
-                    print(f"checkpoint: {p}")
+            if epoch % opt.checkpointEvery == 0:
+                # Multi-host TP: the bottleneck params/moments are sharded
+                # ACROSS processes, so every process joins a collective
+                # all-gather (lockstep — it runs collectives) and host 0
+                # alone writes the full, unsharded state.  Pure-DP leaves
+                # are replicated and gather_pytree degrades to device_get.
+                to_save = state
+                if n_proc > 1 and opt.modelParallel > 1:
+                    to_save = distributed.gather_pytree(state)
+                if is_main:
+                    if opt.keepCheckpoints > 0:
+                        # Prune BEFORE saving: `keep` fully-written
+                        # checkpoints stay on disk even if the incoming
+                        # async write fails.
+                        from video_filler_tpu.checkpoint import \
+                            prune_checkpoints
+                        prune_checkpoints(opt.checkpointDir, opt.name,
+                                          opt.keepCheckpoints)
+                    # Serialization/disk write happens on a background
+                    # thread; only the (mandatory, pre-donation) device
+                    # fetch blocks.
+                    p = save_checkpoint(opt.checkpointDir, opt.name, epoch,
+                                        to_save, meta={"epoch": epoch,
+                                                       "regime": regime,
+                                                       "seed": seed},
+                                        async_write=True)
+                    if not quiet:
+                        print(f"checkpoint: {p}")
     except StopIteration:
         pass
     finally:
