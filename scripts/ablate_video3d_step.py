@@ -11,8 +11,6 @@ the full fused video3d train step at training batches under:
   - f32 Adam (default)              — baseline
   - adamMomentsBf16=1               — halves moment traffic on the 262M
                                       bottleneck params (opt-in flag)
-  - SGD (momentum-free, same loss)  — removes ALL optimizer-state traffic;
-                                      bounds what optimizer traffic costs
 
 Timing follows the loop/bench rule: donated-state chaining + a final
 float() fetch (axon block_until_ready does not wait; CLAUDE.md).
@@ -39,17 +37,9 @@ from video_filler_tpu.train import (init_train_state, make_preprocess,
 ITERS = 40
 
 
-def bench_step(opt: Opt, sgd: bool = False) -> float:
+def bench_step(opt: Opt) -> float:
     """Seconds per fused video3d train step (preprocess + G/D + updates)."""
     state = init_train_state(jax.random.PRNGKey(0), opt, "video3d")
-    if sgd:
-        # Identical loss/backward, optimizer-state-free update: overwrite
-        # the step's Adam apply with plain SGD by zero-ing the moment use.
-        # Cleanest honest variant without touching step.py: time the
-        # grads-only step is not exposed, so emulate by shrinking Adam
-        # state to bf16 moments AND donating — approximation documented
-        # in BASELINE.md if used.  (Currently unused; kept for clarity.)
-        raise SystemExit("sgd variant not wired; use the two Adam modes")
     preprocess = make_preprocess(opt, "video3d")
     train_step = make_train_step(opt, "video3d")
 

@@ -83,7 +83,10 @@ def main():
     rs = np.random.RandomState(0)
     rows = []
 
-    def bench(tag, layer, x, flops):
+    def bench(tag, layer, x, flops, pair=None, kind=None):
+        """pair/kind tag each row for the ratio summary: every '3d' row is
+        ratioed against the '2d' row sharing its pair key (explicit keys,
+        not emission order — reordering a bench() call cannot mispair)."""
         p, s = layer.init(jax.random.PRNGKey(0))
 
         def fwd_step(p, x):
@@ -104,7 +107,9 @@ def main():
         tb = time_scan(fwdbwd_step, p, x)
         # fwd + input-grad = 2x the forward FLOPs
         gtb = 2.0 * flops / tb / 1e12
-        rows.append((tag, tf * 1e3, gtf, tb * 1e3, gtb))
+        rows.append({"tag": tag, "pair": pair, "kind": kind,
+                     "fwd_ms": tf * 1e3, "fwd_tfs": gtf,
+                     "bwd_ms": tb * 1e3, "bwd_tfs": gtb})
         print(f"{tag:34s} fwd {tf * 1e3:8.3f} ms {gtf:6.2f} TF/s   "
               f"fwd+dX {tb * 1e3:8.3f} ms {gtb:6.2f} TF/s", flush=True)
 
@@ -117,11 +122,12 @@ def main():
         f3 = conv_flops(b, t, s_in, s_in, cin, w, 3, 4, 4, 2)
         bench(f"3D enc conv{i} {s_in}^2 {cin}->{w}",
               conv3d(cin, w, (3, 4, 4), (1, 2, 2), (1, 1, 1), False, dt),
-              x3, f3)
+              x3, f3, pair=f"enc{i}", kind="3d")
         x2 = jnp.asarray(rs.rand(b * t, s_in, s_in, cin) * 2 - 1, dt)
         f2 = conv_flops(b * t, 1, s_in, s_in, cin, w, 1, 4, 4, 2)
         bench(f"2D ref conv{i} {s_in}^2 {cin}->{w}",
-              conv2d(cin, w, 4, 2, 1, False, dt), x2, f2)
+              conv2d(cin, w, 4, 2, 1, False, dt), x2, f2,
+              pair=f"enc{i}", kind="2d")
         s_in //= 2
         cin = w
 
@@ -130,19 +136,20 @@ def main():
     x3 = jnp.asarray(rs.rand(b, t, 4, 4, cb) * 2 - 1, dt)
     fb = 2.0 * b * cb * nb * t * 16
     bench(f"3D bott conv ({t},4,4)v {cb}->{nb}",
-          conv3d(cb, nb, (t, 4, 4), (1, 1, 1), (0, 0, 0), False, dt), x3, fb)
+          conv3d(cb, nb, (t, 4, 4), (1, 1, 1), (0, 0, 0), False, dt), x3, fb,
+          pair="bott", kind="3d")
     x2 = jnp.asarray(rs.rand(b * t, 4, 4, cb) * 2 - 1, dt)
     bench(f"2D ref bott (4,4)v {cb}->{nb}",
-          conv2d(cb, nb, 4, 1, 0, False, dt), x2, fb)
+          conv2d(cb, nb, 4, 1, 0, False, dt), x2, fb,
+          pair="bott", kind="2d")
     xb = jnp.asarray(rs.rand(b, 1, 1, 1, nb) * 2 - 1, dt)
+    # up0 shares the bottleneck's 2D reference (equal-FLOP mirror matmul)
     bench(f"3D up0 convT ({t},4,4)v {nb}->{cb}",
           conv3d_transpose(nb, cb, (t, 4, 4), (1, 1, 1), (0, 0, 0),
-                           False, dt), xb, fb)
+                           False, dt), xb, fb, pair="bott", kind="3d")
 
     if only_bott:
-        r3, r2 = rows[0], rows[1]
-        print(f"\nbott per-FLOP ratio (3D vs 2D): {r3[2] / r2[2]:5.2f}x fwd"
-              f"   {r3[4] / r2[4]:5.2f}x dX")
+        _print_ratios(rows)
         return
 
     # --- decoder stages: convT (3,4,4)/(1,2,2)
@@ -155,21 +162,32 @@ def main():
         f3 = conv_flops(b, t, s_in * 2, s_in * 2, w, cin, 3, 4, 4, 2)
         bench(f"3D dec up{i} {s_in}^2 {cin}->{w}",
               conv3d_transpose(cin, w, (3, 4, 4), (1, 2, 2), (1, 1, 1),
-                               False, dt), x3, f3)
+                               False, dt), x3, f3, pair=f"dec{i}", kind="3d")
         x2 = jnp.asarray(rs.rand(b * t, s_in, s_in, cin) * 2 - 1, dt)
         f2 = conv_flops(b * t, 1, s_in * 2, s_in * 2, w, cin, 1, 4, 4, 2)
         bench(f"2D ref up{i} {s_in}^2 {cin}->{w}",
-              conv2d_transpose(cin, w, 4, 2, 1, False, dt), x2, f2)
+              conv2d_transpose(cin, w, 4, 2, 1, False, dt), x2, f2,
+              pair=f"dec{i}", kind="2d")
         s_in *= 2
         cin = w
 
+    _print_ratios(rows)
+
+
+def _print_ratios(rows):
+    """Each 3D row vs the 2D row sharing its pair key (the bottleneck's two
+    3D matmuls both ratio against the same equal-FLOP 2D reference)."""
+    refs = {r["pair"]: r for r in rows if r["kind"] == "2d"}
     print("\nper-FLOP ratio (3D vs matching 2D, fwd / fwd+dX):")
-    pairs = [(rows[i], rows[i + 1]) for i in range(0, 10, 2)]
-    pairs.append((rows[10], rows[11]))          # bottleneck matmul pair
-    pairs += [(rows[i], rows[i + 1]) for i in range(13, len(rows), 2)]
-    for r3, r2 in pairs:
-        print(f"  {r3[0]:34s} {r3[2] / r2[2]:5.2f}x fwd   "
-              f"{r3[4] / r2[4]:5.2f}x dX")
+    for r in rows:
+        if r["kind"] != "3d":
+            continue
+        ref = refs.get(r["pair"])
+        if ref is None:
+            print(f"  {r['tag']:34s} (no 2D reference run)")
+            continue
+        print(f"  {r['tag']:34s} {r['fwd_tfs'] / ref['fwd_tfs']:5.2f}x fwd"
+              f"   {r['bwd_tfs'] / ref['bwd_tfs']:5.2f}x dX")
 
 
 if __name__ == "__main__":

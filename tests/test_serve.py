@@ -137,7 +137,6 @@ def test_serve_overload_and_expiry(tmp_path):
     """Bounded queue: a full backlog rejects at ingress (503/ServerOverloaded)
     instead of growing forever, and queue entries whose waiters already
     timed out are dropped unprocessed by the batch loop."""
-    import queue as queue_mod
     import time
     from concurrent.futures import Future
 
@@ -152,15 +151,29 @@ def test_serve_overload_and_expiry(tmp_path):
                         device_thread=False)
     try:
         ctx = np.zeros((1, 128, 128, 6), np.uint8)
+        ctx2 = np.zeros((2, 128, 128, 6), np.uint8)
         far = time.perf_counter() + 60.0
-        while True:  # fill the bounded queue to the brim
-            try:
-                srv._queue.put_nowait((ctx, None, Future(), far))
-            except queue_mod.Full:
-                break
+        # The backlog is bounded in ROWS, not queue entries: fill the row
+        # budget the way infer() does (a 2-row request charges 2 rows).
+        while srv._pending_rows + 2 <= srv._max_pending_rows:
+            srv._queue.put_nowait((ctx2, None, Future(), far))
+            with srv._stats_lock:
+                srv._pending_rows += 2
+        with pytest.raises(ServerOverloaded, match="queue full"):
+            srv.infer(ctx2, None)
+        assert srv.stats()["rejected"] == 1
+        # a single-row request may still fit if exactly one row remains
+        if srv._max_pending_rows - srv._pending_rows >= 1:
+            srv._queue.put_nowait((ctx, None, Future(), far))
+            with srv._stats_lock:
+                srv._pending_rows += 1
         with pytest.raises(ServerOverloaded, match="queue full"):
             srv.infer(ctx, None)
-        assert srv.stats()["rejected"] == 1
+        # popping an entry frees its ROW count
+        before = srv._pending_rows
+        got = srv._pop_live(0.5)
+        assert got is not None
+        assert srv._pending_rows == before - got[0].shape[0]
 
         # drain, then check expiry: _pop_live skips the stale entry (failing
         # its future) and returns the live one
@@ -174,6 +187,19 @@ def test_serve_overload_and_expiry(tmp_path):
         assert got is not None and got[2] is live_fut
         assert isinstance(stale_fut.exception(timeout=0), TimeoutError)
         assert srv.stats()["expired"] == 1
+
+        # a request that times out waiting surfaces as RequestTimeout (504),
+        # not a bare TimeoutError (500)
+        import video_filler_tpu.serve as serve_mod
+        from video_filler_tpu.serve import RequestTimeout
+        old_t = serve_mod.REQUEST_TIMEOUT_S
+        serve_mod.REQUEST_TIMEOUT_S = 0.05
+        srv._pending_rows = 0  # the raw get_nowait drain above bypassed it
+        try:
+            with pytest.raises(RequestTimeout):
+                srv.infer(ctx, None)  # no worker drains the queue
+        finally:
+            serve_mod.REQUEST_TIMEOUT_S = old_t
     finally:
         srv.close()
 

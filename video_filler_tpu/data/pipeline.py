@@ -143,6 +143,23 @@ def load_mask(path: str, mode: str = "byte") -> np.ndarray:
     return binarize_mask(img.astype(np.float32) / 255.0, mode)
 
 
+
+def _cached_mask_at(mask: np.ndarray, cache: dict, h: int, w: int
+                    ) -> np.ndarray:
+    """``mask`` rescaled to (h, w) with the >=128 binarization (the donkeys
+    rescale the global mask to each frame, datavid/donkey_folder.lua:109),
+    memoized per geometry — corpus frames share one size, and re-resizing
+    per sample dominated the non-decode host cost."""
+    m = cache.get((h, w))
+    if m is None:
+        m = mask
+        if m.shape[:2] != (h, w):
+            m = (decode.resize((m * 255).astype(np.uint8), h, w)
+                 >= 128).astype(np.uint8)
+        cache[(h, w)] = m
+    return m
+
+
 def video_sampler(opt: Opt, corpus: VideoCorpus,
                   mask: np.ndarray | None, split: str = "train") -> Callable:
     """predLen consecutive frames channel-folded + the (rescaled, cropped)
@@ -159,17 +176,7 @@ def video_sampler(opt: Opt, corpus: VideoCorpus,
     def _mask_crop(h, w, y, x):
         if mask is None:
             return np.zeros((fs, fs, 1), np.uint8)
-        # Cached per frame geometry: corpus frames share one size, and
-        # re-resizing the full mask per clip dominated the non-decode host
-        # cost of the native path.
-        m = mask_cache.get((h, w))
-        if m is None:
-            m = mask
-            if m.shape[:2] != (h, w):
-                m = (decode.resize((m * 255).astype(np.uint8), h, w)
-                     >= 128).astype(np.uint8)
-            mask_cache[(h, w)] = m
-        return m[y:y + fs, x:x + fs]
+        return _cached_mask_at(mask, mask_cache, h, w)[y:y + fs, x:x + fs]
 
     def sample_native(rs: np.random.RandomState) -> Batch:
         """Batch decode via C++ (shared crop per clip + reported offsets for
@@ -277,16 +284,7 @@ def wholeim_sampler(opt: Opt, corpus: VideoCorpus,
     mask_cache: dict[tuple[int, int], np.ndarray] = {}
 
     def _mask_at(h, w):
-        """Mask rescaled to the frame — cached: corpus frames share one
-        geometry, and re-resizing per sample dominated the host cost."""
-        m = mask_cache.get((h, w))
-        if m is None:
-            m = mask
-            if m.shape[:2] != (h, w):
-                m = (decode.resize((m * 255).astype(np.uint8), h, w)
-                     >= 128).astype(np.uint8)
-            mask_cache[(h, w)] = m
-        return m
+        return _cached_mask_at(mask, mask_cache, h, w)
 
     def _transform(rs, img):
         """Mask-fill + translate + flip + dark-check + slice one decoded

@@ -228,9 +228,10 @@ def shard_sp_host_batch(mesh: Mesh, batch, nc: int = 3):
     replicating every row to all seq devices first (over a remote-TPU link
     that replication multiplies the host->device transfer by n_seq).
 
-    ``nc`` (channels per frame) guards FRAME alignment: nc*T dividing n_seq
-    is not enough — e.g. nc=3, T=4, n_seq=6 would shard mid-frame, silently
-    defeating the locality this function promises."""
+    ``nc`` (channels per frame) guards FRAME alignment: n_seq dividing the
+    folded channel count nc*T is not enough — e.g. nc=3, T=4, n_seq=6
+    divides 12 but would shard mid-frame, silently defeating the locality
+    this function promises.  The real requirement is n_seq | T."""
     raw = batch["raw"]
     n_seq = mesh.shape[SEQ_AXIS]
     per_shard, rem = divmod(raw.shape[-1], n_seq)
@@ -238,8 +239,8 @@ def shard_sp_host_batch(mesh: Mesh, batch, nc: int = 3):
         raise ValueError(
             f"folded channels {raw.shape[-1]} over seq axis {n_seq} give "
             f"{raw.shape[-1] / n_seq:g} channels per shard — not a multiple "
-            f"of nc={nc}: the T axis must divide n_seq so shards split on "
-            "frame boundaries")
+            f"of nc={nc}: seqParallel must divide the clip's frame count T "
+            f"(= {raw.shape[-1] // nc}) so shards split on frame boundaries")
 
     def put(k, x):
         if k == "raw":

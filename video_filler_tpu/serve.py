@@ -31,10 +31,12 @@ API (all numpy .npz bodies):
                    "avg_fill", "p50_ms", "p95_ms"}
   GET  /healthz   200 "ok"
 
-Overload behavior: the request queue is bounded (4 batches deep); a full
-queue rejects immediately with 503 instead of growing without limit, and
+Overload behavior: the backlog is bounded in ROWS (4 device batches'
+worth, so multi-row requests count their size, not one queue slot); over
+budget rejects immediately with 503 instead of growing without limit,
 requests whose waiters have already hit the client timeout are dropped
-unprocessed — the device never burns a batch on abandoned work.
+unprocessed — the device never burns a batch on abandoned work — and a
+request that times out waiting (queued or in flight) returns 504.
 
 CLI:
     python -m video_filler_tpu.serve regime=video net=checkpoints/..._state.npz \
@@ -70,6 +72,10 @@ REQUEST_TIMEOUT_S = 60.0  # client wait bound; queue entries older than this
 
 class ServerOverloaded(RuntimeError):
     """Request queue full — reject now (HTTP 503) rather than queue forever."""
+
+
+class RequestTimeout(RuntimeError):
+    """Request expired before its batch completed — HTTP 504."""
 
 
 class InpaintServer:
@@ -138,10 +144,13 @@ class InpaintServer:
             return image_ops.denormalize_to_uint8(out)
 
         self._serve_fn = serve_fn
-        # Bounded backlog: ~4 full batches of single-row requests.  Overload
-        # rejects at ingress (503) instead of queueing unboundedly while the
-        # device also churns through requests whose clients already gave up.
-        self._queue: queue.Queue = queue.Queue(maxsize=max(4 * self.batch, 16))
+        # Bounded backlog, denominated in ROWS (a 64-row POST charges 64,
+        # not one queue slot): 4 full device batches.  Overload rejects at
+        # ingress (503) instead of queueing unboundedly while the device
+        # also churns through requests whose clients already gave up.
+        self._queue: queue.Queue = queue.Queue()
+        self._max_pending_rows = max(4 * self.batch, 16)
+        self._pending_rows = 0
         self._closed = False
         self._stats_lock = threading.Lock()
         self._stats = {"requests": 0, "items": 0, "batches": 0,
@@ -190,6 +199,11 @@ class InpaintServer:
                     timeout=max(end - time.perf_counter(), 1e-4))
             except queue.Empty:
                 return None
+            with self._stats_lock:
+                # Row budget freed on POP (live or expired) — max(0,...)
+                # tolerates tests injecting entries behind infer()'s back.
+                self._pending_rows = max(
+                    0, self._pending_rows - item[0].shape[0])
             if time.perf_counter() <= item[3]:
                 return item
             if not item[2].done():
@@ -261,16 +275,22 @@ class InpaintServer:
                 f"{self.batch} — split client-side")
         t0 = time.perf_counter()
         fut: Future = Future()
-        try:
-            self._queue.put_nowait((ctx, mask, fut,
-                                    t0 + REQUEST_TIMEOUT_S))
-        except queue.Full:
-            with self._stats_lock:
+        n = ctx.shape[0]
+        with self._stats_lock:
+            if self._pending_rows + n > self._max_pending_rows:
                 self._stats["rejected"] += 1
-            raise ServerOverloaded(
-                f"request queue full ({self._queue.maxsize} pending) — "
-                "retry with backoff") from None
-        out = fut.result(timeout=REQUEST_TIMEOUT_S)
+                raise ServerOverloaded(
+                    f"request queue full ({self._pending_rows} rows "
+                    f"pending, budget {self._max_pending_rows}) — retry "
+                    "with backoff")
+            self._pending_rows += n
+        self._queue.put_nowait((ctx, mask, fut, t0 + REQUEST_TIMEOUT_S))
+        try:
+            out = fut.result(timeout=REQUEST_TIMEOUT_S)
+        except TimeoutError as e:
+            # Either fut.result's wait expired or _pop_live failed the
+            # future with "request expired in queue" — 504 both ways.
+            raise RequestTimeout(str(e) or "request timed out") from None
         with self._stats_lock:
             self._stats["requests"] += 1
             self._latencies.append((time.perf_counter() - t0) * 1000.0)
@@ -342,6 +362,9 @@ class InpaintServer:
                     return
                 except ServerOverloaded as e:
                     self._send(503, "text/plain", str(e).encode())
+                    return
+                except RequestTimeout as e:
+                    self._send(504, "text/plain", str(e).encode())
                     return
                 except Exception as e:
                     self._send(500, "text/plain", str(e).encode())
