@@ -224,3 +224,59 @@ def test_dashboard_tail_read_long_lines(tmp_path, monkeypatch):
         assert d.read_metrics(1000) and len(d.read_metrics(1000)) == 450
     finally:
         d.close()
+
+
+def test_sigterm_preemption_checkpoint(image_root, tmp_path, monkeypatch):
+    """Preemption-aware shutdown (TPU maintenance events deliver SIGTERM):
+    the loop finishes the in-flight step, writes a synchronous checkpoint
+    labeled with the interrupted epoch, and exits cleanly; autoResume then
+    continues from it.  Run as a real CLI subprocess — the handler installs
+    only on the main thread of a single-process run."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"  # PYTHONPATH is safe on the cpu backend
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    args = [sys.executable, "-u", "-m", "video_filler_tpu.train",
+            "regime=center", f"DATA_ROOT={image_root}", "loadSize=140",
+            "wtl2=0.999", "nef=8", "ngf=8", "ndf=8", "nBottleneck=32",
+            "batchSize=2", "nThreads=0", "computeDtype=float32",
+            "niter=10000", "ntrain=8", "manualSeed=222", "display=0",
+            "checkpointEvery=100000", "name=pre"]
+    proc = subprocess.Popen(args, cwd=str(tmp_path), env=env,
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True)
+    try:
+        # wait until training demonstrably steps, then deliver SIGTERM
+        lines = []
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            lines.append(line)
+            if "Epoch: [3]" in line:
+                break
+        else:
+            raise AssertionError("no step output:\n" + "".join(lines)[-2000:])
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=120)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, out[-2000:]
+    assert "SIGTERM: checkpointed" in out, out[-2000:]
+    ckpts = glob.glob(str(tmp_path / "checkpoints" / "pre_*_state.npz"))
+    assert ckpts, "no preemption checkpoint written"
+
+    # resume continues cleanly from the preemption checkpoint
+    monkeypatch.chdir(tmp_path)
+    opt = Opt(DATA_ROOT=image_root, loadSize=140, wtl2=0.999, nef=8,
+              ngf=8, ndf=8, nBottleneck=32, batchSize=2, nThreads=0,
+              computeDtype="float32", ntrain=8, manualSeed=222,
+              display=False, checkpointEvery=100000, name="pre",
+              autoResume=True, niter=100000)
+    state = train(opt, "center", max_steps=2, quiet=True)
+    assert int(state.step) >= 2

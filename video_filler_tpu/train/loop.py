@@ -19,7 +19,9 @@ CLI (env-var names match the reference; see config.py):
 from __future__ import annotations
 
 import math
+import signal
 import sys
+import threading
 import time
 
 import jax
@@ -288,6 +290,20 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
     # (donated-state chain) never drains.
     pending_log = None
 
+    # Preemption-aware shutdown: TPU maintenance events deliver SIGTERM
+    # with a grace window — finish the in-flight step, checkpoint the live
+    # state, exit cleanly (the SIGKILL story is autoResume + atomic saves;
+    # this one loses NO progress).  Single-process only: an uncoordinated
+    # per-host signal would desync the SPMD program mid-collective —
+    # multi-host preemption needs coordinated delivery, which the cluster
+    # layer owns.  The handler only sets a flag; all real work happens at
+    # the next step boundary on the main thread.
+    preempted = threading.Event()
+    old_sigterm = None
+    if n_proc == 1 and threading.current_thread() is threading.main_thread():
+        old_sigterm = signal.signal(
+            signal.SIGTERM, lambda signum, frame: preempted.set())
+
     def _flush_log():
         nonlocal pending_log
         if pending_log is not None:
@@ -343,6 +359,19 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
                     pending_log = (epoch, step, steps_per_epoch, metrics,
                                    time.perf_counter() - t0, t_data)
                 done += 1
+                if preempted.is_set():
+                    # Save labeled with the interrupted epoch: resume skips
+                    # its remainder — benign here, samplers draw randomly
+                    # rather than sweeping a fixed per-epoch order.
+                    _flush_log()
+                    p = save_checkpoint(
+                        opt.checkpointDir, opt.name, epoch, state,
+                        meta={"epoch": epoch, "regime": regime,
+                              "seed": seed, "preempted_at_step": done})
+                    if not quiet:
+                        print(f"SIGTERM: checkpointed {p} at epoch {epoch} "
+                              f"step {done}; exiting cleanly")
+                    raise StopIteration
                 if max_steps is not None and done >= max_steps:
                     raise StopIteration
             _flush_log()
@@ -401,6 +430,8 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
             # not REPLACE the exception that actually aborted training.
             if not propagating:
                 raise
+        if old_sigterm is not None:
+            signal.signal(signal.SIGTERM, old_sigterm)
     return state
 
 
