@@ -241,3 +241,42 @@ def test_serve_video3d_folded_clips(tmp_path):
                                       out[mask[..., 0] == 1])
     finally:
         srv.close()
+
+
+def test_serve_graceful_drain(tmp_path):
+    """initiate_drain: new requests are refused (503/ServerOverloaded),
+    every already-accepted request is answered, and the batch loop RETURNS
+    instead of spinning — the CLI's SIGTERM handler builds on this."""
+    import time
+    from threading import Thread
+
+    from video_filler_tpu.serve import ServerOverloaded
+
+    opt = Opt(predLen=2, batchSize=2, **TINY)
+    state = init_train_state(jax.random.PRNGKey(0), opt, "video")
+    path = save_checkpoint(str(tmp_path), "srv3", 1, state)
+    srv = InpaintServer(opt, "video", path, port=0, max_delay_ms=1.0,
+                        device_thread=False)
+    try:
+        ctx = np.zeros((1, 128, 128, 6), np.uint8)
+        results = []
+        threads = [Thread(target=lambda: results.append(srv.infer(ctx, None)))
+                   for _ in range(2)]
+        for th in threads:
+            th.start()
+        deadline = time.time() + 10
+        while srv._queue.qsize() < 2 and time.time() < deadline:
+            time.sleep(0.01)
+        assert srv._queue.qsize() == 2
+        srv.initiate_drain()
+        with pytest.raises(ServerOverloaded, match="draining"):
+            srv.infer(ctx, None)
+        t0 = time.time()
+        srv._run_batches()  # answers the backlog, then returns (drained)
+        assert time.time() - t0 < 30
+        for th in threads:
+            th.join(timeout=30)
+        assert len(results) == 2
+        assert all(r.shape == (1, 128, 128, 6) for r in results)
+    finally:
+        srv.close()

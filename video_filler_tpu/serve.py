@@ -37,6 +37,9 @@ budget rejects immediately with 503 instead of growing without limit,
 requests whose waiters have already hit the client timeout are dropped
 unprocessed — the device never burns a batch on abandoned work — and a
 request that times out waiting (queued or in flight) returns 504.
+Shutdown is graceful: SIGTERM (pod preemption / rollout) drains — new
+requests get 503, every accepted request is answered, then the process
+exits cleanly.
 
 CLI:
     python -m video_filler_tpu.serve regime=video net=checkpoints/..._state.npz \
@@ -151,6 +154,7 @@ class InpaintServer:
         self._queue: queue.Queue = queue.Queue()
         self._max_pending_rows = max(4 * self.batch, 16)
         self._pending_rows = 0
+        self._draining = False
         self._closed = False
         self._stats_lock = threading.Lock()
         self._stats = {"requests": 0, "items": 0, "batches": 0,
@@ -221,6 +225,8 @@ class InpaintServer:
             else:
                 item = self._pop_live(0.2)
                 if item is None:
+                    if self._draining and self._queue.empty():
+                        return  # drained: every accepted request answered
                     continue
                 items = [item]
             deadline = time.perf_counter() + self.max_delay
@@ -276,6 +282,11 @@ class InpaintServer:
         t0 = time.perf_counter()
         fut: Future = Future()
         n = ctx.shape[0]
+        if self._draining:
+            with self._stats_lock:
+                self._stats["rejected"] += 1
+            raise ServerOverloaded(
+                "server draining (shutdown in progress) — request refused")
         with self._stats_lock:
             if self._pending_rows + n > self._max_pending_rows:
                 self._stats["rejected"] += 1
@@ -386,8 +397,15 @@ class InpaintServer:
         return s
 
     def run_forever(self) -> None:
-        """Drive the batch loop on the calling thread (device_thread=False)."""
+        """Drive the batch loop on the calling thread (device_thread=False).
+        Returns after initiate_drain() once the backlog is answered."""
         self._run_batches()
+
+    def initiate_drain(self) -> None:
+        """Graceful shutdown: refuse new requests (503) but answer every
+        request already accepted; the batch loop then returns.  Safe to call
+        from a signal handler — it only sets a flag."""
+        self._draining = True
 
     def close(self) -> None:
         self._closed = True
@@ -422,10 +440,18 @@ def main(argv: list[str]) -> None:
     print(f"serving {opt.net} (regime={regime}, batch={opt.batchSize}) on "
           f"http://localhost:{srv.port}/  — POST /inpaint, GET /stats",
           flush=True)
+    # Graceful shutdown: SIGTERM (pod preemption / rollout) drains — new
+    # requests get 503, accepted ones are answered, then the loop returns.
+    import signal
+    signal.signal(signal.SIGTERM,
+                  lambda signum, frame: srv.initiate_drain())
     try:
         srv.run_forever()  # device work on the main thread
+        print("drained — all accepted requests answered; shutting down",
+              flush=True)
     except KeyboardInterrupt:
-        srv.close()
+        pass
+    srv.close()
 
 
 def cli() -> None:
