@@ -33,6 +33,20 @@ def load_generator(opt: Opt, regime: str, net_path: str):
         params_t, state_t = gen.init(jax.random.PRNGKey(0))
         params = restore_subtree(net_path, params_t, ".params_g")
         bn_state = restore_subtree(net_path, state_t, ".state_g")
+    # Inference-only weight residency: conv kernels/biases live on device in
+    # the COMPUTE dtype.  The conv apply casts w/b to computeDtype in-jit
+    # anyway (ops/layers.py), so pre-casting is bit-identical — but f32
+    # residency makes every forward stream the f32 weights from HBM just to
+    # feed the cast (~284 MB/batch for the flagship G); bf16 residency
+    # halves that.  BN leaves stay f32: its math runs in f32 by design.
+    import jax.numpy as jnp
+    cdtype = jnp.dtype(opt.computeDtype)
+
+    def _resident(path, leaf):
+        name = getattr(path[-1], "key", None)
+        return jnp.asarray(leaf, cdtype) if name in ("w", "b") else leaf
+
+    params = jax.tree_util.tree_map_with_path(_resident, params)
     # Commit the weights to device ONCE: restore/import return host-numpy
     # trees, and jit re-transfers numpy arguments on EVERY call — serving
     # and throughput benches would otherwise re-upload the full generator
