@@ -145,17 +145,22 @@ def shard_train_state(mesh: Mesh, train_state: Any) -> Any:
     programs, which deadlocks the CPU gloo backend (measured: context
     init timeout) for TP (model-axis) shardings.
     """
-    shardings = state_shardings(mesh, train_state)
+    return put_with_shardings(train_state, state_shardings(mesh, train_state))
+
+
+def put_with_shardings(tree: Any, shardings: Any) -> Any:
+    """device_put a host pytree with per-leaf shardings, multi-process-safe
+    (see shard_train_state's docstring for why device_put alone is not)."""
     if jax.process_count() == 1:
-        return jax.device_put(train_state, shardings)
-    host_state = jax.device_get(train_state)
+        return jax.device_put(tree, shardings)
+    host_tree = jax.device_get(tree)
 
     def build(x, sh):
         x = np.asarray(x)
         return jax.make_array_from_callback(x.shape, sh,
                                             lambda idx: x[idx])
 
-    return jax.tree.map(build, host_state, shardings)
+    return jax.tree.map(build, host_tree, shardings)
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:

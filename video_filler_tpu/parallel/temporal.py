@@ -203,8 +203,12 @@ def make_sp_train_step(opt, mesh: Mesh, with_init: bool = False):
 
 def shard_sp_state(mesh: Mesh, state):
     """Replicate the TrainState over the ('data','seq') mesh (params are
-    small; the sharded things are activations)."""
-    return jax.device_put(state, NamedSharding(mesh, P()))
+    small; the sharded things are activations).  Goes through the
+    multi-process-safe builder: a plain device_put to a mesh spanning
+    processes reshards through cross-process programs (mesh.py)."""
+    from video_filler_tpu.parallel.mesh import put_with_shardings
+    sharding = NamedSharding(mesh, P())
+    return put_with_shardings(state, jax.tree.map(lambda _: sharding, state))
 
 
 def shard_sp_batch(mesh: Mesh, batch):
