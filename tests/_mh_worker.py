@@ -34,15 +34,20 @@ def main() -> None:
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_cpu_collectives_implementation", "gloo")
-    # NO persistent compilation cache here: a deserialized XLA:CPU
-    # executable whose program contains CROSS-PROCESS gloo collectives
-    # deadlocks at execution (measured: the identical TP fused step runs
-    # with a cold cache — both processes compile — and hangs on every
-    # warm run where both AOT-load; the DP tests only ever passed because
-    # their caches were cold).  In-memory jit caching still applies.
-    jax.distributed.initialize(coordinator_address=f"localhost:{port}",
-                               num_processes=2, process_id=pid)
+    # A persistent compilation cache would DEADLOCK these workers: a
+    # deserialized XLA:CPU executable whose program contains CROSS-PROCESS
+    # gloo collectives hangs at execution (measured: the identical TP fused
+    # step runs with a cold cache — both processes compile — and hangs on
+    # every warm run where both AOT-load; the DP tests only ever passed
+    # because their caches were cold).  Set one anyway: the framework's
+    # initialize() must detect and disable it (the guardrail under test).
+    jax.config.update("jax_compilation_cache_dir", "/tmp/vf_mh_cache_trap")
+    from video_filler_tpu.parallel import distributed as _dist
+    _dist.initialize(coordinator_address=f"localhost:{port}",
+                     num_processes=2, process_id=pid)
     assert jax.process_count() == 2 and jax.device_count() == 8
+    assert not jax.config.jax_compilation_cache_dir, \
+        "initialize() failed to disable the persistent cache on gloo"
 
     import numpy as np
 

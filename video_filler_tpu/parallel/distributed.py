@@ -42,6 +42,24 @@ def initialize(coordinator_address: str | None = None,
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
+    _guard_cpu_collective_cache()
+
+
+def _guard_cpu_collective_cache() -> None:
+    """Disable the persistent compilation cache on multi-process CPU
+    backends: a DESERIALIZED XLA:CPU executable whose program contains
+    cross-process (gloo) collectives deadlocks at execution — cold compiles
+    pass, every warm AOT-load hangs (measured on the TP fused step; the
+    failure is silent and looks like a stuck collective).  TPU backends keep
+    the cache — their AOT path is unaffected."""
+    if jax.process_count() > 1 and jax.default_backend() == "cpu":
+        cache_dir = getattr(jax.config, "jax_compilation_cache_dir", None)
+        if cache_dir:
+            print(f"WARNING: disabling persistent compilation cache "
+                  f"({cache_dir}) — deserialized XLA:CPU executables with "
+                  "cross-process collectives deadlock at execution",
+                  flush=True)
+            jax.config.update("jax_compilation_cache_dir", None)
 
 
 def process_batch_slice(global_batch: int) -> tuple[int, int]:
