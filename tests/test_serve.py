@@ -156,7 +156,7 @@ def test_serve_overload_and_expiry(tmp_path):
         # The backlog is bounded in ROWS, not queue entries: fill the row
         # budget the way infer() does (a 2-row request charges 2 rows).
         while srv._pending_rows + 2 <= srv._max_pending_rows:
-            srv._queue.put_nowait((ctx2, None, Future(), far))
+            srv._queue.put_nowait((ctx2, None, None, Future(), far))
             with srv._stats_lock:
                 srv._pending_rows += 2
         with pytest.raises(ServerOverloaded, match="queue full"):
@@ -164,7 +164,7 @@ def test_serve_overload_and_expiry(tmp_path):
         assert srv.stats()["rejected"] == 1
         # a single-row request may still fit if exactly one row remains
         if srv._max_pending_rows - srv._pending_rows >= 1:
-            srv._queue.put_nowait((ctx, None, Future(), far))
+            srv._queue.put_nowait((ctx, None, None, Future(), far))
             with srv._stats_lock:
                 srv._pending_rows += 1
         with pytest.raises(ServerOverloaded, match="queue full"):
@@ -180,11 +180,11 @@ def test_serve_overload_and_expiry(tmp_path):
         while not srv._queue.empty():
             srv._queue.get_nowait()
         stale_fut, live_fut = Future(), Future()
-        srv._queue.put_nowait((ctx, None, stale_fut,
+        srv._queue.put_nowait((ctx, None, None, stale_fut,
                                time.perf_counter() - 1.0))
-        srv._queue.put_nowait((ctx, None, live_fut, far))
+        srv._queue.put_nowait((ctx, None, None, live_fut, far))
         got = srv._pop_live(0.5)
-        assert got is not None and got[2] is live_fut
+        assert got is not None and got[3] is live_fut
         assert isinstance(stale_fut.exception(timeout=0), TimeoutError)
         assert srv.stats()["expired"] == 1
 
@@ -280,3 +280,55 @@ def test_serve_graceful_drain(tmp_path):
         assert all(r.shape == (1, 128, 128, 6) for r in results)
     finally:
         srv.close()
+
+
+def test_serve_noisegen_generator(tmp_path):
+    """noiseGen generators serve: omitted noise defaults to zeros
+    (deterministic), client-supplied noise reaches the (ctx, z) join —
+    parity vs a direct forward with the same z; non-noiseGen servers
+    reject a noise array (400)."""
+    import jax.numpy as jnp
+
+    from video_filler_tpu.eval.common import load_generator
+
+    opt = Opt(batchSize=2, overlapPred=4, noiseGen=True, nz=16, **TINY)
+    state = init_train_state(jax.random.PRNGKey(0), opt, "center")
+    path = save_checkpoint(str(tmp_path), "ng", 1, state)
+    srv = InpaintServer(opt, "center", path, port=0, max_delay_ms=1.0)
+    try:
+        rs = np.random.RandomState(0)
+        ctx = rs.randint(0, 256, (128, 128, 3), np.uint8)
+        out0 = _post(srv.port, ctx=ctx)                     # zero noise
+        out0b = _post(srv.port, ctx=ctx)
+        np.testing.assert_array_equal(out0, out0b)          # deterministic
+        z = rs.randn(16).astype(np.float32)
+        out1 = _post(srv.port, ctx=ctx, noise=z)
+        assert not np.array_equal(out0, out1)               # noise reaches G
+
+        # parity: direct forward with the same z through the paste-back
+        from video_filler_tpu.ops.image import normalize_uint8
+        from video_filler_tpu.ops import masks as mask_ops
+        fwd, p, bn = load_generator(opt, "center", path)
+        x = normalize_uint8(jnp.asarray(ctx[None]))
+        pred = fwd(p, bn, (x, jnp.asarray(z).reshape(1, 1, 1, 16)))
+        want = mask_ops.paste_center(x.astype(jnp.float32),
+                                     pred.astype(jnp.float32), 4)
+        want_u8 = np.asarray(
+            jnp.clip(jnp.round((want + 1.0) * 127.5), 0, 255)
+        ).astype(np.uint8)[0]
+        np.testing.assert_array_equal(out1, want_u8)
+    finally:
+        srv.close()
+
+    # non-noiseGen server: a noise array is a client error
+    opt2 = Opt(batchSize=2, overlapPred=4, **TINY)
+    state2 = init_train_state(jax.random.PRNGKey(0), opt2, "center")
+    path2 = save_checkpoint(str(tmp_path), "ng2", 1, state2)
+    srv2 = InpaintServer(opt2, "center", path2, port=0, max_delay_ms=1.0)
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(srv2.port, ctx=ctx,
+                  noise=np.zeros(16, np.float32))
+        assert e.value.code == 400
+    finally:
+        srv2.close()

@@ -18,7 +18,9 @@ trained generator over HTTP with TPU-shaped batching:
 
 API (all numpy .npz bodies):
   POST /inpaint   {"ctx": (H,W,C) or (B,H,W,C) uint8 masked context,
-                   optional "mask": (H,W,1) or (B,H,W,1) uint8 {0,1}}
+                   optional "mask": (H,W,1) or (B,H,W,1) uint8 {0,1},
+                   optional "noise": (nz,) / (1,1,nz) / (B,1,1,nz) f32 for
+                   noiseGen generators (omitted -> zeros: deterministic)}
                   -> {"out": same-shape uint8; inside mask = generated,
                       outside = ctx (absent mask = full G output).
                       center regime: the predicted 64^2 hole is pasted back
@@ -89,10 +91,12 @@ class InpaintServer:
                  max_delay_ms: float = 5.0, device_thread: bool = True):
         self.batch = int(opt.batchSize)
         self.fs = int(opt.fineSize)
-        if opt.noiseGen:
-            raise SystemExit("serve does not support noiseGen generators "
-                             "(their input is a (ctx, z) pair)")
+        self.noise_gen = bool(opt.noiseGen)
+        self.nz = int(opt.nz)
         self.video3d = regime == "video3d"
+        if self.noise_gen and self.video3d:
+            raise SystemExit("noiseGen is a 2D-generator join "
+                             "(train.lua:109-124); the 3D family has none")
         if self.video3d:
             # Same wire format as the video regime — channel-folded uint8
             # clips (B, S, S, nc*predLen); serve unfolds to (B, T, S, S, nc)
@@ -118,21 +122,22 @@ class InpaintServer:
         gen = build_for_regime(opt, regime)[0]
         composable, center_paste = self.composable, self.center_paste
         video3d, pred_len = self.video3d, opt.predLen
-        overlap = opt.overlapPred
+        overlap, noise_gen = opt.overlapPred, self.noise_gen
 
         from video_filler_tpu.ops import image as image_ops
         from video_filler_tpu.ops import masks as mask_ops
         from video_filler_tpu.ops.layers3d import fold_time, unfold_time
 
         @jax.jit
-        def serve_fn(params, bn_state, ctx_u8, mask_u8):
+        def serve_fn(params, bn_state, ctx_u8, mask_u8, noise):
             x = image_ops.normalize_uint8(ctx_u8)
             if video3d:
                 y, _ = gen.apply(params, bn_state,
                                  unfold_time(x, pred_len), train=False)
                 y = fold_time(y)
             else:
-                y, _ = gen.apply(params, bn_state, x, train=False)
+                g_in = (x, noise) if noise_gen else x
+                y, _ = gen.apply(params, bn_state, g_in, train=False)
             out = y.astype(jnp.float32)
             if composable:
                 # Binarize: clients commonly send 0/255 masks (PNG decode);
@@ -164,7 +169,8 @@ class InpaintServer:
         # Warm up (compile) before accepting traffic.
         z = jnp.zeros((self.batch, self.fs, self.fs, self.nc_in), jnp.uint8)
         zm = jnp.ones((self.batch, self.fs, self.fs, 1), jnp.uint8)
-        np.asarray(self._serve_fn(self._params, self._bn, z, zm))
+        zn = jnp.zeros((self.batch, 1, 1, self.nz), jnp.float32)
+        np.asarray(self._serve_fn(self._params, self._bn, z, zm, zn))
 
         # device_thread=False: the caller drives the batch loop itself via
         # run_forever() — lets the DEVICE work own the main thread (some
@@ -208,10 +214,10 @@ class InpaintServer:
                 # tolerates tests injecting entries behind infer()'s back.
                 self._pending_rows = max(
                     0, self._pending_rows - item[0].shape[0])
-            if time.perf_counter() <= item[3]:
+            if time.perf_counter() <= item[4]:
                 return item
-            if not item[2].done():
-                item[2].set_exception(
+            if not item[3].done():
+                item[3].set_exception(
                     TimeoutError("request expired in queue"))
             with self._stats_lock:
                 self._stats["expired"] += 1
@@ -249,32 +255,39 @@ class InpaintServer:
             ctx = np.zeros((self.batch, self.fs, self.fs, self.nc_in),
                            np.uint8)
             mask = np.ones((self.batch, self.fs, self.fs, 1), np.uint8)
+            noise = np.zeros((self.batch, 1, 1, self.nz), np.float32)
             at = 0
-            for c, m, _, _ in items:
+            for c, m, nz, _, _ in items:
                 ctx[at:at + c.shape[0]] = c
                 if m is not None:
                     mask[at:at + c.shape[0]] = m
+                if nz is not None:
+                    noise[at:at + c.shape[0]] = nz
                 at += c.shape[0]
             try:
                 out = np.asarray(self._serve_fn(self._params, self._bn,
                                                 jnp.asarray(ctx),
-                                                jnp.asarray(mask)))
+                                                jnp.asarray(mask),
+                                                jnp.asarray(noise)))
                 at = 0
-                for c, _, fut, _ in items:
+                for c, _, _, fut, _ in items:
                     fut.set_result(out[at:at + c.shape[0]])
                     at += c.shape[0]
             except Exception as e:  # surface device errors to the clients
-                for _, _, fut, _ in items:
+                for _, _, _, fut, _ in items:
                     if not fut.done():
                         fut.set_exception(e)
             with self._stats_lock:
                 self._stats["batches"] += 1
                 self._stats["items"] += rows
         if carry is not None:  # don't strand a held-over request at shutdown
-            carry[2].set_exception(RuntimeError("server closed"))
+            carry[3].set_exception(RuntimeError("server closed"))
 
-    def infer(self, ctx: np.ndarray, mask: np.ndarray | None) -> np.ndarray:
-        """Enqueue one request (B,fs,fs,nc_in) and block for its rows."""
+    def infer(self, ctx: np.ndarray, mask: np.ndarray | None,
+              noise: np.ndarray | None = None) -> np.ndarray:
+        """Enqueue one request (B,fs,fs,nc_in) and block for its rows.
+        ``noise``: optional (B,1,1,nz) f32 for noiseGen generators
+        (defaults to zeros — deterministic serving)."""
         if ctx.shape[0] > self.batch:
             raise ValueError(
                 f"request of {ctx.shape[0]} rows exceeds the server batch "
@@ -295,7 +308,8 @@ class InpaintServer:
                     f"pending, budget {self._max_pending_rows}) — retry "
                     "with backoff")
             self._pending_rows += n
-        self._queue.put_nowait((ctx, mask, fut, t0 + REQUEST_TIMEOUT_S))
+        self._queue.put_nowait((ctx, mask, noise, fut,
+                                t0 + REQUEST_TIMEOUT_S))
         try:
             out = fut.result(timeout=REQUEST_TIMEOUT_S)
         except TimeoutError as e:
@@ -343,10 +357,26 @@ class InpaintServer:
                                  allow_pickle=False) as data:
                         ctx = data["ctx"]
                         mask = data["mask"] if "mask" in data.files else None
+                        noise = (data["noise"] if "noise" in data.files
+                                 else None)
                     squeeze = ctx.ndim == 3
                     if squeeze:
                         ctx = ctx[None]
                         mask = None if mask is None else mask[None]
+                    if noise is not None:
+                        if not server.noise_gen:
+                            raise ValueError(
+                                "this server's generator takes no noise "
+                                "(noiseGen=0)")
+                        noise = np.asarray(noise, np.float32)
+                        if noise.ndim in (1, 3):   # (nz,) or (1,1,nz)
+                            noise = np.broadcast_to(
+                                noise.reshape(1, 1, 1, -1),
+                                (ctx.shape[0], 1, 1, noise.shape[-1]))
+                        if noise.shape != (ctx.shape[0], 1, 1, server.nz):
+                            raise ValueError(
+                                f"noise must be (B,1,1,{server.nz}), got "
+                                f"{noise.shape}")
                     fs, c = server.fs, server.nc_in
                     if ctx.dtype != np.uint8 or \
                             ctx.shape[1:] != (fs, fs, c):
@@ -367,7 +397,7 @@ class InpaintServer:
                     self._send(400, "text/plain", str(e).encode())
                     return
                 try:
-                    out = server.infer(ctx, mask)
+                    out = server.infer(ctx, mask, noise)
                 except ValueError as e:  # client error (e.g. oversize batch)
                     self._send(400, "text/plain", str(e).encode())
                     return
