@@ -1,0 +1,101 @@
+"""Learning-dynamics ledgers for the two remaining regimes (round 3).
+
+center/video/video3d (+conditionAdv) have on-chip convergence ledgers;
+logo and wholeim only had e2e smoke tests.  Same protocol as the other
+ledgers (seed 222, eval n_batches=4, init/~800/3000-step checkpoints):
+
+* wholeim — 27-channel 3x3 patch-array input predicting the 2x2 corner
+  patches (train_wholeim_input.lua) on a 4-video synthetic corpus with
+  split=80: train AND held-out tail metrics.
+* logo — masked/gt paired folders (train_logo_withmask.lua).  Train-set
+  metrics only: the paired dataset has no split, faithful to
+  data/dataset_logo.lua (pipeline.make_sampler enforces this).
+
+Usage: python scripts/run_logo_wholeim_ledgers.py [wholeim|logo]
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+WORK = "/tmp/lw_ledgers"
+os.makedirs(WORK, exist_ok=True)
+os.chdir(WORK)
+
+from video_filler_tpu.data import synthetic  # noqa: E402
+
+if not os.path.isdir("corpus"):
+    synthetic.make_video_corpus("corpus", n_videos=4, frames=64,
+                                h=180, w=240)
+    synthetic.make_mask_png("mask.png", h=180, w=240)
+    print("corpus built", flush=True)
+if not os.path.isdir("pairs"):
+    synthetic.make_paired_folders("pairs", n=1024, h=160, w=200)
+    print("pairs built", flush=True)
+
+import jax  # noqa: E402
+
+from video_filler_tpu.checkpoint import save_checkpoint  # noqa: E402
+from video_filler_tpu.config import Opt  # noqa: E402
+from video_filler_tpu.eval.metrics import evaluate  # noqa: E402
+from video_filler_tpu.train.loop import train  # noqa: E402
+from video_filler_tpu.train.step import init_train_state  # noqa: E402
+
+RESULTS = []
+
+
+def run(regime, opt, spe, splits):
+    state0 = init_train_state(jax.random.PRNGKey(opt.manualSeed), opt, regime)
+    p0 = save_checkpoint("checkpoints", f"{opt.name}_init", 0,
+                         jax.device_get(state0))
+    del state0
+    state = train(opt, regime, max_steps=3000)
+    final = f"checkpoints/{opt.name}_{opt.niter}_state.npz"
+    if not os.path.exists(final):
+        final = save_checkpoint("checkpoints", f"{opt.name}_final", 999,
+                                jax.device_get(state))
+    del state
+    mid = f"checkpoints/{opt.name}_{opt.checkpointEvery}_state.npz"
+    for tag, path in [("init", p0),
+                      (f"step{opt.checkpointEvery * spe}", mid),
+                      ("step3000", final)]:
+        if not os.path.exists(path):
+            print(f"MISSING {path}", flush=True)
+            continue
+        for es in splits:
+            m = evaluate(opt.replace(net=path, evalSplit=es), regime,
+                         n_batches=4)
+            row = {"regime": regime, "ckpt": tag, "evalSplit": es,
+                   **{k: round(float(v), 4) for k, v in m.items()}}
+            RESULTS.append(row)
+            print("ROW", json.dumps(row), flush=True)
+
+
+which = sys.argv[1] if len(sys.argv) > 1 else "both"
+
+if which in ("wholeim", "both"):
+    # Reference widths (train_wholeim_input.lua:40-43).  4x64 frames,
+    # split=80 -> 204 train frames; ntrain=192 at batch 32 -> 6 steps/epoch;
+    # niter=500 -> 3000 steps, checkpointEvery=133 -> step 798.
+    run("wholeim",
+        Opt(DATA_ROOT="corpus", maskName="mask.png", loadSize=180,
+            batchSize=32, nef=192, ngf=192, ndf=128, nBottleneck=6400,
+            wtl2=0.999, weight_nomask=0.05, ntrain=192, nThreads=2,
+            manualSeed=222, display=False, logEvery=400, split=80,
+            niter=500, checkpointEvery=133, name="lw_wi"),
+        spe=6, splits=("train", "test"))
+
+if which in ("logo", "both"):
+    # 1024 pairs; ntrain=1024 at batch 64 -> 16 steps/epoch; niter=188
+    # -> 3008 steps, checkpointEvery=50 -> step 800.
+    run("logo",
+        Opt(DATA_ROOT="pairs", batchSize=64, loadSize=150, fineSize=128,
+            nBottleneck=4000, wtl2=0.999, ntrain=1024, nThreads=2,
+            manualSeed=222, display=False, logEvery=400,
+            niter=188, checkpointEvery=50, name="lw_lg"),
+        spe=16, splits=("train",))
+
+with open("lw_results.json", "w") as f:
+    json.dump(RESULTS, f, indent=1)
+print("ALL-DONE", len(RESULTS), flush=True)
