@@ -90,7 +90,8 @@ if which in ("logo", "both"):
     # 1024 pairs; ntrain=1024 at batch 64 -> 16 steps/epoch; niter=188
     # -> 3008 steps, checkpointEvery=50 -> step 800.
     run("logo",
-        Opt(DATA_ROOT="pairs", batchSize=64, loadSize=150, fineSize=128,
+        Opt(DATA_ROOT="pairs/masked", DATA_ROOT_GT="pairs/gt_pairs",
+            batchSize=64, loadSize=150, fineSize=128,
             nBottleneck=4000, wtl2=0.999, ntrain=1024, nThreads=2,
             manualSeed=222, display=False, logEvery=400,
             niter=188, checkpointEvery=50, name="lw_lg"),

@@ -332,3 +332,38 @@ def test_serve_noisegen_generator(tmp_path):
         assert e.value.code == 400
     finally:
         srv2.close()
+
+
+def test_serve_data_parallel_mesh(tmp_path):
+    """dataParallel=4 shards each padded device batch over a data:4 mesh
+    (serve.py DP scale-out).  Outputs must be bit-identical to the
+    single-device server for the same checkpoint, batches must land
+    sharded (4 addressable shards), and batchSize % dataParallel is
+    enforced loudly."""
+    opt1 = Opt(predLen=2, batchSize=4, **TINY)
+    state = init_train_state(jax.random.PRNGKey(0), opt1, "video")
+    path = save_checkpoint(str(tmp_path), "dp", 1, state)
+
+    srv1 = InpaintServer(opt1, "video", path, port=0, max_delay_ms=1.0)
+    srv4 = InpaintServer(opt1.replace(dataParallel=4), "video", path,
+                         port=0, max_delay_ms=1.0)
+    try:
+        assert len(jax.devices()) >= 4  # conftest: 8 virtual CPU devices
+        # params actually replicated over the mesh
+        leaf = jax.tree_util.tree_leaves(srv4._params)[0]
+        assert len(leaf.sharding.device_set) == 4
+        rs = np.random.RandomState(7)
+        mask = np.zeros((128, 128, 1), np.uint8)
+        mask[30:90, 20:100] = 1
+        for rows in (1, 3, 4):  # padded tails and a full batch
+            ctx = rs.randint(0, 256, (rows, 128, 128, 6), np.uint8)
+            m = np.broadcast_to(mask, (rows,) + mask.shape)
+            np.testing.assert_array_equal(
+                _post(srv4.port, ctx=ctx, mask=np.ascontiguousarray(m)),
+                _post(srv1.port, ctx=ctx, mask=np.ascontiguousarray(m)))
+    finally:
+        srv1.close()
+        srv4.close()
+
+    with pytest.raises(SystemExit, match="divisible"):
+        InpaintServer(opt1.replace(dataParallel=3), "video", path, port=0)

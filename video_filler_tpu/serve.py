@@ -15,6 +15,12 @@ trained generator over HTTP with TPU-shaped batching:
 * **One device client**: all compute funnels through one worker thread — the
   HTTP pool never contends for the device (concurrent dispatch is the
   measured 1.5x step-time inflation in CLAUDE.md).
+* **Scale-out over ICI**: ``dataParallel=N`` shards each padded device batch
+  across a ('data','model') mesh of N chips — the replicated generator runs
+  SPMD under one jit, so a TPU-VM pod serves N-chip batches with the same
+  single-client loop (no per-chip processes; XLA owns the collective-free
+  row split).  Off by default: serving never silently changes placement
+  under a multi-device ``jax.devices()``.
 
 API (all numpy .npz bodies):
   POST /inpaint   {"ctx": (H,W,C) or (B,H,W,C) uint8 masked context,
@@ -45,7 +51,8 @@ exits cleanly.
 
 CLI:
     python -m video_filler_tpu.serve regime=video net=checkpoints/..._state.npz \
-        predLen=4 batchSize=64 display_port=8100 [serveMaxDelayMs=5]
+        predLen=4 batchSize=64 display_port=8100 [serveMaxDelayMs=5] \
+        [dataParallel=4]
 
 The model config (predLen, nBottleneck, fineSize, ...) must match the
 checkpoint, exactly as in every eval CLI.
@@ -128,7 +135,6 @@ class InpaintServer:
         from video_filler_tpu.ops import masks as mask_ops
         from video_filler_tpu.ops.layers3d import fold_time, unfold_time
 
-        @jax.jit
         def serve_fn(params, bn_state, ctx_u8, mask_u8, noise):
             x = image_ops.normalize_uint8(ctx_u8)
             if video3d:
@@ -151,7 +157,29 @@ class InpaintServer:
                                             overlap)
             return image_ops.denormalize_to_uint8(out)
 
-        self._serve_fn = serve_fn
+        # Scale-out over ICI: dataParallel>1 shards every device batch's
+        # rows across a ('data','model') mesh — the replicated G runs SPMD
+        # and XLA keeps all traffic on-device (no per-chip client code).
+        # Default (dataParallel<=1) stays single-device: serving semantics
+        # never change under a multi-chip jax.devices() unless asked
+        # (train's dataParallel=0 "all devices" default is a TRAIN default).
+        dp = int(opt.dataParallel)
+        if dp > 1:
+            if self.batch % dp:
+                raise SystemExit(
+                    f"batchSize {self.batch} must be divisible by "
+                    f"dataParallel {dp} (fixed padded device batches)")
+            from video_filler_tpu import parallel
+            mesh = parallel.make_mesh(n_data=dp, n_model=1)
+            repl = parallel.replicate(mesh)
+            bsh = parallel.batch_sharding(mesh)
+            self._params = jax.device_put(self._params, repl)
+            self._bn = jax.device_put(self._bn, repl)
+            self._serve_fn = jax.jit(
+                serve_fn, in_shardings=(repl, repl, bsh, bsh, bsh),
+                out_shardings=bsh)
+        else:
+            self._serve_fn = jax.jit(serve_fn)
         # Bounded backlog, denominated in ROWS (a 64-row POST charges 64,
         # not one queue slot): 4 full device batches.  Overload rejects at
         # ingress (503) instead of queueing unboundedly while the device
@@ -166,10 +194,12 @@ class InpaintServer:
                        "expired": 0, "rejected": 0}
         self._latencies: list[float] = []
 
-        # Warm up (compile) before accepting traffic.
-        z = jnp.zeros((self.batch, self.fs, self.fs, self.nc_in), jnp.uint8)
-        zm = jnp.ones((self.batch, self.fs, self.fs, 1), jnp.uint8)
-        zn = jnp.zeros((self.batch, 1, 1, self.nz), jnp.float32)
+        # Warm up (compile) before accepting traffic.  Host arrays: jit
+        # places them per in_shardings (a committed jnp array would fight
+        # the DP placement).
+        z = np.zeros((self.batch, self.fs, self.fs, self.nc_in), np.uint8)
+        zm = np.ones((self.batch, self.fs, self.fs, 1), np.uint8)
+        zn = np.zeros((self.batch, 1, 1, self.nz), np.float32)
         np.asarray(self._serve_fn(self._params, self._bn, z, zm, zn))
 
         # device_thread=False: the caller drives the batch loop itself via
@@ -266,9 +296,7 @@ class InpaintServer:
                 at += c.shape[0]
             try:
                 out = np.asarray(self._serve_fn(self._params, self._bn,
-                                                jnp.asarray(ctx),
-                                                jnp.asarray(mask),
-                                                jnp.asarray(noise)))
+                                                ctx, mask, noise))
                 at = 0
                 for c, _, _, fut, _ in items:
                     fut.set_result(out[at:at + c.shape[0]])
