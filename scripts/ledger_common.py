@@ -1,0 +1,46 @@
+"""Shared learning-dynamics ledger protocol (round 3).
+
+One implementation of the init/~800/3000-step checkpoint-and-evaluate
+loop used by run_condadv_ledger.py and run_logo_wholeim_ledgers.py
+(protocol: seed via opt.manualSeed, eval n_batches=4, ROW lines on
+stdout) so a protocol change happens in exactly one place.
+"""
+import json
+import os
+
+import jax
+
+from video_filler_tpu.checkpoint import save_checkpoint
+from video_filler_tpu.eval.metrics import evaluate
+from video_filler_tpu.train.loop import train
+from video_filler_tpu.train.step import init_train_state
+
+
+def run_ledger(opt, regime, splits, results, mid_tag, final_tag,
+               max_steps=3000, n_batches=4):
+    """Train ``opt`` to ``max_steps`` and evaluate the init / mid
+    (checkpointEvery'th epoch) / final checkpoints on each split,
+    appending row dicts to ``results`` and printing ROW lines."""
+    state0 = init_train_state(jax.random.PRNGKey(opt.manualSeed), opt,
+                              regime)
+    p0 = save_checkpoint("checkpoints", f"{opt.name}_init", 0,
+                         jax.device_get(state0))
+    del state0
+    state = train(opt, regime, max_steps=max_steps)
+    final = f"checkpoints/{opt.name}_{opt.niter}_state.npz"
+    if not os.path.exists(final):
+        final = save_checkpoint("checkpoints", f"{opt.name}_final", 999,
+                                jax.device_get(state))
+    del state
+    mid = f"checkpoints/{opt.name}_{opt.checkpointEvery}_state.npz"
+    for tag, path in [("init", p0), (mid_tag, mid), (final_tag, final)]:
+        if not os.path.exists(path):
+            print(f"MISSING {path}", flush=True)
+            continue
+        for es in splits:
+            m = evaluate(opt.replace(net=path, evalSplit=es), regime,
+                         n_batches=n_batches)
+            row = {"regime": regime, "ckpt": tag, "evalSplit": es,
+                   **{k: round(float(v), 4) for k, v in m.items()}}
+            results.append(row)
+            print("ROW", json.dumps(row), flush=True)

@@ -17,7 +17,9 @@ import json
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SCRIPTS = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_SCRIPTS))
+sys.path.insert(0, _SCRIPTS)  # ledger_common (the scripts chdir to /tmp)
 
 WORK = "/tmp/lw_ledgers"
 os.makedirs(WORK, exist_ok=True)
@@ -34,42 +36,16 @@ if not os.path.isdir("pairs"):
     synthetic.make_paired_folders("pairs", n=1024, h=160, w=200)
     print("pairs built", flush=True)
 
-import jax  # noqa: E402
-
-from video_filler_tpu.checkpoint import save_checkpoint  # noqa: E402
+from ledger_common import run_ledger  # noqa: E402
 from video_filler_tpu.config import Opt  # noqa: E402
-from video_filler_tpu.eval.metrics import evaluate  # noqa: E402
-from video_filler_tpu.train.loop import train  # noqa: E402
-from video_filler_tpu.train.step import init_train_state  # noqa: E402
 
 RESULTS = []
 
 
 def run(regime, opt, spe, splits):
-    state0 = init_train_state(jax.random.PRNGKey(opt.manualSeed), opt, regime)
-    p0 = save_checkpoint("checkpoints", f"{opt.name}_init", 0,
-                         jax.device_get(state0))
-    del state0
-    state = train(opt, regime, max_steps=3000)
-    final = f"checkpoints/{opt.name}_{opt.niter}_state.npz"
-    if not os.path.exists(final):
-        final = save_checkpoint("checkpoints", f"{opt.name}_final", 999,
-                                jax.device_get(state))
-    del state
-    mid = f"checkpoints/{opt.name}_{opt.checkpointEvery}_state.npz"
-    for tag, path in [("init", p0),
-                      (f"step{opt.checkpointEvery * spe}", mid),
-                      ("step3000", final)]:
-        if not os.path.exists(path):
-            print(f"MISSING {path}", flush=True)
-            continue
-        for es in splits:
-            m = evaluate(opt.replace(net=path, evalSplit=es), regime,
-                         n_batches=4)
-            row = {"regime": regime, "ckpt": tag, "evalSplit": es,
-                   **{k: round(float(v), 4) for k, v in m.items()}}
-            RESULTS.append(row)
-            print("ROW", json.dumps(row), flush=True)
+    run_ledger(opt, regime, splits, RESULTS,
+               mid_tag=f"step{opt.checkpointEvery * spe}",
+               final_tag="step3000")
 
 
 which = sys.argv[1] if len(sys.argv) > 1 else "both"

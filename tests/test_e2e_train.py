@@ -232,6 +232,7 @@ def test_sigterm_preemption_checkpoint(image_root, tmp_path, monkeypatch):
     labeled with the interrupted epoch, and exits cleanly; autoResume then
     continues from it.  Run as a real CLI subprocess — the handler installs
     only on the main thread of a single-process run."""
+    import select
     import signal
     import subprocess
     import sys
@@ -255,7 +256,16 @@ def test_sigterm_preemption_checkpoint(image_root, tmp_path, monkeypatch):
         lines = []
         deadline = time.time() + 300
         while time.time() < deadline:
+            # select bounds the blocking readline so a wedged-but-silent
+            # child can't hang the test past its own deadline
+            ready, _, _ = select.select([proc.stdout], [], [], 1.0)
+            if not ready:
+                continue
             line = proc.stdout.readline()
+            if line == "":  # EOF: the child died before stepping
+                raise AssertionError(
+                    "trainer exited early (rc=%s):\n%s"
+                    % (proc.poll(), "".join(lines)[-2000:]))
             lines.append(line)
             if "Epoch: [3]" in line:
                 break

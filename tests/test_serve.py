@@ -271,6 +271,11 @@ def test_serve_graceful_drain(tmp_path):
         srv.initiate_drain()
         with pytest.raises(ServerOverloaded, match="draining"):
             srv.infer(ctx, None)
+        # a draining pod must drop out of balancer rotation immediately
+        with pytest.raises(urllib.error.HTTPError) as he:
+            urllib.request.urlopen(
+                f"http://localhost:{srv.port}/healthz", timeout=10)
+        assert he.value.code == 503
         t0 = time.time()
         srv._run_batches()  # answers the backlog, then returns (drained)
         assert time.time() - t0 < 30
@@ -367,3 +372,37 @@ def test_serve_data_parallel_mesh(tmp_path):
 
     with pytest.raises(SystemExit, match="divisible"):
         InpaintServer(opt1.replace(dataParallel=3), "video", path, port=0)
+
+
+def test_serve_malformed_request_does_not_kill_worker(tmp_path):
+    """A mis-shaped direct infer() call fails fast (ValueError), and even a
+    malformed item injected behind infer()'s back fails ITS future while the
+    worker thread survives to serve the next request."""
+    import time
+    from concurrent.futures import Future
+
+    opt = Opt(predLen=2, batchSize=2, **TINY)
+    state = init_train_state(jax.random.PRNGKey(0), opt, "video")
+    path = save_checkpoint(str(tmp_path), "srv4", 1, state)
+    srv = InpaintServer(opt, "video", path, port=0, max_delay_ms=1.0)
+    try:
+        good = np.zeros((1, 128, 128, 6), np.uint8)
+        with pytest.raises(ValueError, match="ctx rows"):
+            srv.infer(np.zeros((1, 64, 64, 6), np.uint8), None)
+        with pytest.raises(ValueError, match="mask must"):
+            srv.infer(good, np.zeros((1, 64, 64, 1), np.uint8))
+        with pytest.raises(ValueError, match="noise must"):
+            srv.infer(good, None, np.zeros((1, 16), np.float32))
+
+        # inject a poison item directly (bad channel count): the batch
+        # assembly raises inside the worker's try, failing only this future
+        fut: Future = Future()
+        srv._queue.put_nowait((np.zeros((1, 128, 128, 3), np.uint8), None,
+                               None, fut, time.perf_counter() + 60))
+        with pytest.raises(Exception):
+            fut.result(timeout=30)
+        # the worker must still be alive and serving
+        out = srv.infer(good, None)
+        assert out.shape == (1, 128, 128, 6)
+    finally:
+        srv.close()

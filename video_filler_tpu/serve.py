@@ -261,8 +261,17 @@ class InpaintServer:
             else:
                 item = self._pop_live(0.2)
                 if item is None:
-                    if self._draining and self._queue.empty():
-                        return  # drained: every accepted request answered
+                    if self._draining:
+                        # Exit only when no accepted rows remain anywhere.
+                        # infer() reserves rows and checks _draining under
+                        # the same lock, so an acceptance racing SIGTERM is
+                        # either visible here (_pending_rows > 0) or was
+                        # rejected — "every accepted request is answered"
+                        # holds without a TOCTOU window.
+                        with self._stats_lock:
+                            drained = self._pending_rows == 0
+                        if drained and self._queue.empty():
+                            return
                     continue
                 items = [item]
             deadline = time.perf_counter() + self.max_delay
@@ -282,19 +291,22 @@ class InpaintServer:
                 items.append(nxt)
                 rows += nxt[0].shape[0]
 
-            ctx = np.zeros((self.batch, self.fs, self.fs, self.nc_in),
-                           np.uint8)
-            mask = np.ones((self.batch, self.fs, self.fs, 1), np.uint8)
-            noise = np.zeros((self.batch, 1, 1, self.nz), np.float32)
-            at = 0
-            for c, m, nz, _, _ in items:
-                ctx[at:at + c.shape[0]] = c
-                if m is not None:
-                    mask[at:at + c.shape[0]] = m
-                if nz is not None:
-                    noise[at:at + c.shape[0]] = nz
-                at += c.shape[0]
             try:
+                # Assembly runs INSIDE the try: a malformed request (shape
+                # mismatch from a direct infer() caller) must fail ITS
+                # futures, not kill the worker thread and brick the server.
+                ctx = np.zeros((self.batch, self.fs, self.fs, self.nc_in),
+                               np.uint8)
+                mask = np.ones((self.batch, self.fs, self.fs, 1), np.uint8)
+                noise = np.zeros((self.batch, 1, 1, self.nz), np.float32)
+                at = 0
+                for c, m, nz, _, _ in items:
+                    ctx[at:at + c.shape[0]] = c
+                    if m is not None:
+                        mask[at:at + c.shape[0]] = m
+                    if nz is not None:
+                        noise[at:at + c.shape[0]] = nz
+                    at += c.shape[0]
                 out = np.asarray(self._serve_fn(self._params, self._bn,
                                                 ctx, mask, noise))
                 at = 0
@@ -320,15 +332,31 @@ class InpaintServer:
             raise ValueError(
                 f"request of {ctx.shape[0]} rows exceeds the server batch "
                 f"{self.batch} — split client-side")
+        n = ctx.shape[0]
+        # Validate BEFORE enqueueing: HTTP callers are pre-validated, but a
+        # direct infer() caller with a mis-shaped array must get ValueError
+        # here, not poison the shared batch in the device worker.
+        if ctx.shape[1:] != (self.fs, self.fs, self.nc_in):
+            raise ValueError(f"ctx rows must be ({self.fs},{self.fs},"
+                             f"{self.nc_in}), got {ctx.shape[1:]}")
+        if mask is not None and mask.shape != (n, self.fs, self.fs, 1):
+            raise ValueError(f"mask must be ({n},{self.fs},{self.fs},1), "
+                             f"got {mask.shape}")
+        if noise is not None and noise.shape != (n, 1, 1, self.nz):
+            raise ValueError(f"noise must be ({n},1,1,{self.nz}), "
+                             f"got {noise.shape}")
         t0 = time.perf_counter()
         fut: Future = Future()
-        n = ctx.shape[0]
-        if self._draining:
-            with self._stats_lock:
-                self._stats["rejected"] += 1
-            raise ServerOverloaded(
-                "server draining (shutdown in progress) — request refused")
         with self._stats_lock:
+            # _draining is checked under the SAME lock that reserves rows:
+            # the batch loop's drained-exit reads _pending_rows under this
+            # lock, so an acceptance here is either rejected (flag already
+            # set) or visible to the loop before it can exit.
+            if self._draining:
+                self._stats["rejected"] += 1
+                raise ServerOverloaded(
+                    "server draining (shutdown in progress) — request "
+                    "refused")
             if self._pending_rows + n > self._max_pending_rows:
                 self._stats["rejected"] += 1
                 raise ServerOverloaded(
@@ -368,7 +396,13 @@ class InpaintServer:
 
             def do_GET(self):
                 if self.path == "/healthz":
-                    self._send(200, "text/plain", b"ok")
+                    # Draining pods must drop out of balancer rotation NOW,
+                    # not after the backlog is answered — every new request
+                    # would 503 anyway.
+                    if server._draining:
+                        self._send(503, "text/plain", b"draining")
+                    else:
+                        self._send(200, "text/plain", b"ok")
                 elif self.path == "/stats":
                     self._send(200, "application/json",
                                json.dumps(server.stats()).encode())
