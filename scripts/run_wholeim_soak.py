@@ -1,0 +1,51 @@
+"""wholeim 10k-step soak (round 3).
+
+The 3000-step wholeim ledger (scripts/run_logo_wholeim_ledgers.py) shows
+the slowest learning of any regime — hole-L2 falls 33% where the others
+fall 5-25x — consistent with its task (corner-patch extrapolation) and the
+reference's 500-FULL-epoch budget (train_wholeim_input.lua:46).  This soak
+extends the same run protocol to 10,000 steps to establish whether the
+curve keeps falling (under-trained at 3k, like the reference expects) or
+plateaus/overtrains (like video's 10k soak, BASELINE.md:65).
+
+Usage: python scripts/run_wholeim_soak.py
+"""
+import json
+import os
+import sys
+
+_SCRIPTS = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_SCRIPTS))
+sys.path.insert(0, _SCRIPTS)
+
+WORK = "/tmp/lw_ledgers"   # shares the ledger run's corpus
+os.makedirs(WORK, exist_ok=True)
+os.chdir(WORK)
+
+from video_filler_tpu.data import synthetic  # noqa: E402
+
+if not os.path.isdir("corpus"):
+    synthetic.make_video_corpus("corpus", n_videos=4, frames=64,
+                                h=180, w=240)
+    synthetic.make_mask_png("mask.png", h=180, w=240)
+    print("corpus built", flush=True)
+
+from ledger_common import run_ledger  # noqa: E402
+from video_filler_tpu.config import Opt  # noqa: E402
+
+# Same widths/corpus/seed as the 3000-step ledger; niter=1667 at 6
+# steps/epoch -> 10,002 steps, mid checkpoint at epoch 500 = step 3000
+# (directly comparable to the ledger's final row).
+rows = []
+run_ledger(Opt(DATA_ROOT="corpus", maskName="mask.png", loadSize=180,
+               batchSize=32, nef=192, ngf=192, ndf=128, nBottleneck=6400,
+               wtl2=0.999, weight_nomask=0.05, ntrain=192, nThreads=2,
+               manualSeed=222, display=False, logEvery=1000, split=80,
+               niter=1667, checkpointEvery=500, name="wi_soak"),
+           "wholeim", ("train", "test"), rows,
+           mid_tag="step3000", final_tag="step10002",
+           max_steps=10002)
+
+with open("wholeim_soak_results.json", "w") as f:
+    json.dump(rows, f, indent=1)
+print("ALL-DONE", len(rows), flush=True)
