@@ -201,3 +201,58 @@ def test_export_stablehlo_roundtrip(tmp_path, rng):
     multi = jax_export.deserialize(
         export_generator_hlo(opt, "video", net, platforms=("tpu", "cpu")))
     assert multi.platforms == ("tpu", "cpu")
+
+
+def test_export_stablehlo_video3d_and_noisegen(tmp_path, rng):
+    """The two served generator shapes beyond the plain 2D forward also
+    export: video3d over the channel-folded wire format (serve.py), and
+    noiseGen artifacts taking a second (B,1,1,nz) noise input — each
+    bit-equal to the live forward."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jax_export
+
+    from video_filler_tpu.checkpoint import save_checkpoint
+    from video_filler_tpu.eval.common import load_generator
+    from video_filler_tpu.eval.export_hlo import export_generator_hlo
+    from video_filler_tpu.ops import image as image_ops
+    from video_filler_tpu.ops.layers3d import fold_time, unfold_time
+    from video_filler_tpu.train import init_train_state
+
+    rs = np.random.RandomState(0)
+
+    # video3d: folded clips in/out
+    opt3 = Opt(predLen=4, video3dLevels=3, fineSize=32, batchSize=2, nef=8,
+               ngf=8, ndf=8, nBottleneck=32, computeDtype="float32")
+    st3 = init_train_state(rng, opt3, "video3d")
+    net3 = save_checkpoint(str(tmp_path), "h3d", 1, st3)
+    g3 = jax_export.deserialize(
+        export_generator_hlo(opt3, "video3d", net3, platforms=("cpu",)))
+    ctx3 = rs.randint(0, 256, (2, 32, 32, 12), np.uint8)
+    out3 = np.asarray(g3.call(jnp.asarray(ctx3)))
+    fwd3, p3, bn3 = load_generator(opt3, "video3d", net3)
+    want3 = np.asarray(image_ops.denormalize_to_uint8(fold_time(
+        fwd3(p3, bn3, unfold_time(
+            image_ops.normalize_uint8(jnp.asarray(ctx3)), 4))
+    ).astype(jnp.float32)))
+    np.testing.assert_array_equal(out3, want3)
+
+    # noiseGen: (ctx, noise) two-input artifact
+    optn = Opt(batchSize=2, overlapPred=4, noiseGen=True, nz=16, nef=8,
+               ngf=8, ndf=8, nBottleneck=32, computeDtype="float32")
+    stn = init_train_state(rng, optn, "center")
+    netn = save_checkpoint(str(tmp_path), "hng", 1, stn)
+    gn = jax_export.deserialize(
+        export_generator_hlo(optn, "center", netn, platforms=("cpu",)))
+    ctxn = rs.randint(0, 256, (2, 128, 128, 3), np.uint8)
+    z = rs.randn(2, 1, 1, 16).astype(np.float32)
+    outn = np.asarray(gn.call(jnp.asarray(ctxn), jnp.asarray(z)))
+    fwdn, pn, bnn = load_generator(optn, "center", netn)
+    wantn = np.asarray(image_ops.denormalize_to_uint8(
+        fwdn(pn, bnn, (image_ops.normalize_uint8(jnp.asarray(ctxn)),
+                       jnp.asarray(z))).astype(jnp.float32)))
+    np.testing.assert_array_equal(outn, wantn)
+    # noise reaches the artifact's compute: different z, different output
+    z2 = rs.randn(2, 1, 1, 16).astype(np.float32)
+    assert not np.array_equal(
+        np.asarray(gn.call(jnp.asarray(ctxn), jnp.asarray(z2))), outn)

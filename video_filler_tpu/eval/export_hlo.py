@@ -20,6 +20,10 @@ Reload (no video_filler_tpu needed beyond jax):
     from jax import export
     g = export.deserialize(open("netG.hlo", "rb").read())
     out_u8 = g.call(ctx_u8)        # uint8 (B,H,W,C) -> uint8
+
+All served generator shapes export: video3d takes/returns channel-folded
+uint8 clips (B,S,S,nc*predLen) like serve.py's wire format; noiseGen
+artifacts take a second (B,1,1,nz) f32 input: g.call(ctx_u8, noise).
 """
 
 from __future__ import annotations
@@ -49,15 +53,49 @@ def export_generator_hlo(opt: Opt, regime: str, net_path: str,
     from video_filler_tpu.models import build_for_regime
     gen = build_for_regime(opt, regime)[0]
 
-    def forward(ctx_u8):
-        x = image_ops.normalize_uint8(ctx_u8)
-        y, _ = gen.apply(params, bn_state, x, train=False)
-        return image_ops.denormalize_to_uint8(y.astype(jnp.float32))
+    if regime == "video3d":
+        # Same wire format as serve.py: channel-folded uint8 clips
+        # (B, S, S, nc*predLen) in/out around the temporal G.
+        from video_filler_tpu.ops.layers3d import fold_time, unfold_time
 
-    gspec, _ = specs_for_regime(opt, regime)
-    ctx_shape = (opt.batchSize, opt.fineSize, opt.fineSize, gspec.nc_in)
+        fs = 4 * 2 ** opt.video3dLevels
+        ctx_shape = (opt.batchSize, fs, fs, opt.nc * opt.predLen)
+
+        def forward(ctx_u8):
+            x = image_ops.normalize_uint8(ctx_u8)
+            y, _ = gen.apply(params, bn_state,
+                             unfold_time(x, opt.predLen), train=False)
+            return image_ops.denormalize_to_uint8(
+                fold_time(y).astype(jnp.float32))
+
+        args = (jax.ShapeDtypeStruct(ctx_shape, jnp.uint8),)
+    else:
+        gspec, _ = specs_for_regime(opt, regime)
+        ctx_shape = (opt.batchSize, opt.fineSize, opt.fineSize,
+                     gspec.nc_in)
+        if opt.noiseGen:
+            # noiseGen joins (ctx, z) at the bottleneck (train.lua:143-152):
+            # the artifact takes a second (B,1,1,nz) f32 input, matching
+            # serve.py's noise parameter.
+            def forward(ctx_u8, noise):
+                x = image_ops.normalize_uint8(ctx_u8)
+                y, _ = gen.apply(params, bn_state, (x, noise), train=False)
+                return image_ops.denormalize_to_uint8(
+                    y.astype(jnp.float32))
+
+            args = (jax.ShapeDtypeStruct(ctx_shape, jnp.uint8),
+                    jax.ShapeDtypeStruct((opt.batchSize, 1, 1, opt.nz),
+                                         jnp.float32))
+        else:
+            def forward(ctx_u8):
+                x = image_ops.normalize_uint8(ctx_u8)
+                y, _ = gen.apply(params, bn_state, x, train=False)
+                return image_ops.denormalize_to_uint8(
+                    y.astype(jnp.float32))
+
+            args = (jax.ShapeDtypeStruct(ctx_shape, jnp.uint8),)
     exp = jax_export.export(jax.jit(forward), platforms=list(platforms))(
-        jax.ShapeDtypeStruct(ctx_shape, jnp.uint8))
+        *args)
     return exp.serialize()
 
 
