@@ -9,7 +9,6 @@ from video_filler_tpu.config import Opt
 from video_filler_tpu.data import synthetic
 from video_filler_tpu.data.decode import (
     decode_image,
-    load_and_resize,
     short_side_resize,
 )
 from video_filler_tpu.data.index import FolderIndex, PairedIndex, VideoCorpus

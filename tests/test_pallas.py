@@ -4,7 +4,6 @@ CPU; the same kernels compile natively on TPU)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from video_filler_tpu.ops import losses
 from video_filler_tpu.ops.pallas import fused_weighted_mse, pallas_supported

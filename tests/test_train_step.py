@@ -7,7 +7,6 @@ Uses tiny widths so CPU compiles stay fast; the semantics under test
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from video_filler_tpu.config import Opt
 from video_filler_tpu.train import init_train_state, make_train_step
@@ -111,7 +110,6 @@ def test_gdl_quirk_changes_gradient_not_value(rng):
 
 def test_g_lr_10x_rule():
     from video_filler_tpu.train.step import _optimizers
-    import optax
 
     # 0<wtl2<1 → G lr 10x (train.lua:218-222)
     opt = Opt(wtl2=0.999, **TINY)
