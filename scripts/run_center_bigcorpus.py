@@ -19,7 +19,9 @@ import json
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SCRIPTS = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_SCRIPTS))
+sys.path.insert(0, _SCRIPTS)  # ledger_common (the scripts chdir to /tmp)
 
 WORK = "/tmp/bigcorpus"
 os.makedirs(WORK, exist_ok=True)
@@ -31,13 +33,8 @@ if not os.path.isdir("images"):
     synthetic.make_image_folder("images", n=2048, h=160, w=200, seed=0)
     print("corpus built: 2048 textures", flush=True)
 
-import jax  # noqa: E402
-
-from video_filler_tpu.checkpoint import save_checkpoint  # noqa: E402
+from ledger_common import run_ledger  # noqa: E402
 from video_filler_tpu.config import Opt  # noqa: E402
-from video_filler_tpu.eval.metrics import evaluate  # noqa: E402
-from video_filler_tpu.train.loop import train  # noqa: E402
-from video_filler_tpu.train.step import init_train_state  # noqa: E402
 
 opt = Opt(DATA_ROOT="images", batchSize=64, overlapPred=4, loadSize=150,
           fineSize=128, nBottleneck=4000, wtl2=0.999, ntrain=1664,
@@ -46,29 +43,9 @@ opt = Opt(DATA_ROOT="images", batchSize=64, overlapPred=4, loadSize=150,
 # split=80 of 2048 -> 1638 train images -> 25 steps/epoch at batch 64;
 # niter=120 -> 3000 steps, checkpointEvery=32 -> a step-800 checkpoint.
 
-state0 = init_train_state(jax.random.PRNGKey(opt.manualSeed), opt, "center")
-p0 = save_checkpoint("checkpoints", "bc_init", 0, jax.device_get(state0))
-del state0
-state = train(opt, "center", max_steps=3000)
-final = f"checkpoints/bc_{opt.niter}_state.npz"
-if not os.path.exists(final):
-    final = save_checkpoint("checkpoints", "bc_final", 999,
-                            jax.device_get(state))
-del state
-
 rows = []
-mid = f"checkpoints/bc_{opt.checkpointEvery}_state.npz"
-for tag, path in [("init", p0), ("mid", mid), ("final", final)]:
-    if not os.path.exists(path):
-        print(f"MISSING {path}", flush=True)
-        continue
-    for es in ("train", "test"):
-        m = evaluate(opt.replace(net=path, evalSplit=es), "center",
-                     n_batches=4)
-        row = {"ckpt": tag, "evalSplit": es,
-               **{k: round(float(v), 4) for k, v in m.items()}}
-        rows.append(row)
-        print("ROW", json.dumps(row), flush=True)
+run_ledger(opt, "center", ("train", "test"), rows,
+           mid_tag="mid", final_tag="final")
 
 with open("bigcorpus_results.json", "w") as f:
     json.dump(rows, f, indent=1)

@@ -11,44 +11,18 @@ the adjusted niter/checkpointEvery to land on the same step counts.
 """
 import sys, os, json
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/scripts")
 os.chdir("/tmp/heldout3")
-import jax
+from ledger_common import run_ledger
 from video_filler_tpu.config import Opt
-from video_filler_tpu.train.loop import train
-from video_filler_tpu.train.step import init_train_state
-from video_filler_tpu.checkpoint import save_checkpoint
-from video_filler_tpu.eval.metrics import evaluate
 
 RESULTS = []
 
 
 def run(regime, opt, spe):
-    state0 = init_train_state(jax.random.PRNGKey(opt.manualSeed), opt, regime)
-    p0 = save_checkpoint("checkpoints", f"{opt.name}_init", 0,
-                         jax.device_get(state0))
-    del state0
-    state = train(opt, regime, max_steps=3000)
-    final = f"checkpoints/{opt.name}_{opt.niter}_state.npz"
-    if not os.path.exists(final):  # max_steps can stop before the epoch save
-        final = save_checkpoint("checkpoints", f"{opt.name}_final", 999,
-                                jax.device_get(state))
-    del state
-    mid_ep = opt.checkpointEvery
-    ckpts = [("init", p0),
-             (f"step{mid_ep * spe}",
-              f"checkpoints/{opt.name}_{mid_ep}_state.npz"),
-             (f"step{opt.niter * spe}", final)]
-    for tag, path in ckpts:
-        if not os.path.exists(path):
-            print(f"MISSING {path}", flush=True)
-            continue
-        for es in ("train", "test"):
-            m = evaluate(opt.replace(net=path, evalSplit=es), regime,
-                         n_batches=4)
-            row = {"regime": regime, "ckpt": tag, "evalSplit": es,
-                   **{k: round(float(v), 4) for k, v in m.items()}}
-            RESULTS.append(row)
-            print("ROW", json.dumps(row), flush=True)
+    run_ledger(opt, regime, ("train", "test"), RESULTS,
+               mid_tag=f"step{opt.checkpointEvery * spe}",
+               final_tag=f"step{opt.niter * spe}")
 
 
 common = dict(loadSize=150, fineSize=128, nBottleneck=4000, wtl2=0.999,
