@@ -366,6 +366,16 @@ def test_serve_data_parallel_mesh(tmp_path):
             np.testing.assert_array_equal(
                 _post(srv4.port, ctx=ctx, mask=np.ascontiguousarray(m)),
                 _post(srv1.port, ctx=ctx, mask=np.ascontiguousarray(m)))
+        # dynamic batching composes with DP: concurrent single-row posts
+        # aggregate into shared sharded batches and each caller still gets
+        # ITS row
+        ctxs = [rs.randint(0, 256, (128, 128, 6), np.uint8)
+                for _ in range(8)]
+        solo = [_post(srv4.port, ctx=c) for c in ctxs]
+        with ThreadPoolExecutor(8) as pool:
+            outs = list(pool.map(lambda c: _post(srv4.port, ctx=c), ctxs))
+        for got, want in zip(outs, solo):
+            np.testing.assert_array_equal(got, want)
     finally:
         srv1.close()
         srv4.close()
