@@ -34,14 +34,17 @@ from ledger_common import run_ledger  # noqa: E402
 from video_filler_tpu.config import Opt  # noqa: E402
 
 # Same widths/corpus/seed as the 3000-step ledger; niter=1667 at 6
-# steps/epoch -> 10,002 steps, mid checkpoint at epoch 500 = step 3000
-# (directly comparable to the ledger's final row).
+# steps/epoch -> 10,002 steps.  checkpointEvery > niter: NO mid save —
+# the step-3000 metrics already exist in the ledger, and each full-width
+# wholeim TrainState fetch is 4.5 GB over the axon tunnel, which HUNG the
+# client (and took the tunnel relay down) on the first attempt of this
+# soak (CLAUDE.md).  One init + one final fetch is the minimum.
 rows = []
 run_ledger(Opt(DATA_ROOT="corpus", maskName="mask.png", loadSize=180,
                batchSize=32, nef=192, ngf=192, ndf=128, nBottleneck=6400,
                wtl2=0.999, weight_nomask=0.05, ntrain=192, nThreads=2,
                manualSeed=222, display=False, logEvery=1000, split=80,
-               niter=1667, checkpointEvery=500, name="wi_soak"),
+               niter=1667, checkpointEvery=9999, name="wi_soak"),
            "wholeim", ("train", "test"), rows,
            mid_tag="step3000", final_tag="step10002",
            max_steps=10002)
