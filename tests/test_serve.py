@@ -383,6 +383,23 @@ def test_serve_data_parallel_mesh(tmp_path):
     with pytest.raises(SystemExit, match="divisible"):
         InpaintServer(opt1.replace(dataParallel=3), "video", path, port=0)
 
+    # the temporal family serves identically under the mesh: folded-clip
+    # wire format, unfold/G/fold inside the sharded jit
+    opt3 = Opt(predLen=2, batchSize=4, video3dLevels=5, **TINY)
+    st3 = init_train_state(jax.random.PRNGKey(0), opt3, "video3d")
+    p3 = save_checkpoint(str(tmp_path), "dp3", 1, st3)
+    s3a = InpaintServer(opt3, "video3d", p3, port=0, max_delay_ms=1.0)
+    s3b = InpaintServer(opt3.replace(dataParallel=4), "video3d", p3,
+                        port=0, max_delay_ms=1.0)
+    try:
+        rs = np.random.RandomState(9)
+        ctx = rs.randint(0, 256, (3, 128, 128, 6), np.uint8)
+        np.testing.assert_array_equal(_post(s3b.port, ctx=ctx),
+                                      _post(s3a.port, ctx=ctx))
+    finally:
+        s3a.close()
+        s3b.close()
+
 
 def test_serve_malformed_request_does_not_kill_worker(tmp_path):
     """A mis-shaped direct infer() call fails fast (ValueError), and even a
