@@ -10,11 +10,29 @@ images / 204 frames -> 3 steps/epoch at batch 64 (6 at batch 32), hence
 the adjusted niter/checkpointEvery to land on the same step counts.
 """
 import sys, os, json
-sys.path.insert(0, "/root/repo")
-sys.path.insert(0, "/root/repo/scripts")
-os.chdir("/tmp/heldout3")
-from ledger_common import run_ledger
-from video_filler_tpu.config import Opt
+
+_SCRIPTS = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_SCRIPTS))
+sys.path.insert(0, _SCRIPTS)  # ledger_common (the script chdirs to /tmp)
+
+WORK = "/tmp/heldout3"
+os.makedirs(WORK, exist_ok=True)
+os.chdir(WORK)
+
+from video_filler_tpu.data import synthetic  # noqa: E402
+
+# Same corpora as the round-2 train-set ledgers (BASELINE.md:63-65):
+# 256 textures for center, 4x 64-frame videos + logo mask for video/video3d.
+if not os.path.isdir("images"):
+    synthetic.make_image_folder("images", n=256, h=160, w=200, seed=0)
+if not os.path.isdir("corpus"):
+    synthetic.make_video_corpus("corpus", n_videos=4, frames=64,
+                                h=180, w=240)
+    synthetic.make_mask_png("mask.png", h=180, w=240)
+print("corpora ready", flush=True)
+
+from ledger_common import run_ledger  # noqa: E402
+from video_filler_tpu.config import Opt  # noqa: E402
 
 RESULTS = []
 

@@ -247,6 +247,48 @@ def test_native_wholeim_and_logo_samplers_engage(video_root, tmp_path,
     assert (np.abs(diff) > 0).mean() < 0.5
 
 
+def test_short_side_resize_rounds_half_up(tmp_path):
+    """The Python size rule matches native short_side_dims (half-up): a
+    *.5 target rounds UP in both decoders, so a Python-fallback frame lands
+    on the same size as its natively-decoded neighbors.  281x280 @ 140:
+    140 * 281/280 = 140.5 -> 141 (banker's round() gave 140)."""
+    from video_filler_tpu.data import native
+
+    img = np.zeros((281, 280, 3), np.uint8)
+    assert short_side_resize(img, 140).shape == (141, 140, 3)
+    p = str(tmp_path / "halfup.png")
+    from PIL import Image
+    Image.fromarray(img).save(p)
+    if native.available():
+        _, hw, fails = native.load_frames([p], 140, 300, 300)
+        assert fails == 0 and tuple(hw[0]) == (141, 140)
+
+
+def test_logo_pair_survives_partial_native_fallback(tmp_path, monkeypatch):
+    """If ONE image of a logo pair is rejected by the native decoder, the
+    sampler re-decodes BOTH in Python — the pair's size-equality check and
+    shared crop must always compare like with like."""
+    from video_filler_tpu.data import native
+    from video_filler_tpu.data import pipeline as pl
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    masked_root, gt_root = synthetic.make_paired_folders(str(tmp_path), n=4)
+    real_lf = native.load_frames
+
+    def one_of_pair_fails(paths, *a, **k):
+        buf, hw, fails = real_lf(paths, *a, **k)
+        hw[1] = 0  # simulate: the gt of pair 0 failed native decode
+        return buf, hw, fails + 1
+
+    monkeypatch.setattr(pl.native, "load_frames", one_of_pair_fails)
+    opt = Opt(batchSize=2, loadSize=140, fineSize=128)
+    batch = logo_sampler(opt, PairedIndex(masked_root, gt_root))(
+        np.random.RandomState(0))
+    assert batch["raw_masked"].shape == (2, 128, 128, 3)
+    assert batch["raw_gt"].shape == (2, 128, 128, 3)
+
+
 def test_corrupt_wholeim_corpus_fails_loudly(tmp_path):
     """wholeim native path keeps the video path's failure semantics: a
     corrupt frame falls back to Python decode, which raises naming the

@@ -74,10 +74,15 @@ def short_side_resize(img: np.ndarray, load_size: int,
     """
     h, w = img.shape[:2]
     if load_size > 0:
+        # Half-up rounding, matching the native pool's short_side_dims
+        # (native/vf_native.cpp) so a Python-fallback frame lands on the
+        # same target size as its natively-decoded neighbors; banker's
+        # round() here made mixed-decoder logo pairs differ by one pixel
+        # at *.5 aspect ratios.
         if w < h:
-            nw, nh = load_size, max(1, round(load_size * h / w))
+            nw, nh = load_size, max(1, int(0.5 + load_size * h / w))
         else:
-            nh, nw = load_size, max(1, round(load_size * w / h))
+            nh, nw = load_size, max(1, int(0.5 + load_size * w / h))
         if (nh, nw) == (h, w):
             return img
         return resize(img, nh, nw)

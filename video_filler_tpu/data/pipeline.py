@@ -115,14 +115,17 @@ def logo_sampler(opt: Opt, paired: PairedIndex) -> Callable:
                                                  max_hw, max_hw,
                                                  out=slots.buf)
 
-        def frame(k, path):
-            if buf is not None and hw[k, 0] != 0:
-                return buf[k, :hw[k, 0], :hw[k, 1]]
-            return decode.load_and_resize(path, opt.loadSize, opt.nc)
-
         for i, (pm, pg) in enumerate(pairs):
-            im = frame(2 * i, pm)
-            ig = frame(2 * i + 1, pg)
+            # A pair decodes with ONE decoder: if either image fell back
+            # (decode error in the native pool), redo BOTH in Python so the
+            # size-equality check below compares like with like — the two
+            # paths share the half-up size rule but not the resampler.
+            if buf is not None and hw[2 * i, 0] != 0 and hw[2 * i + 1, 0] != 0:
+                im = buf[2 * i, :hw[2 * i, 0], :hw[2 * i, 1]]
+                ig = buf[2 * i + 1, :hw[2 * i + 1, 0], :hw[2 * i + 1, 1]]
+            else:
+                im = decode.load_and_resize(pm, opt.loadSize, opt.nc)
+                ig = decode.load_and_resize(pg, opt.loadSize, opt.nc)
             if im.shape != ig.shape:
                 raise ValueError(
                     f"paired images differ in size: {pm} vs {pg} "

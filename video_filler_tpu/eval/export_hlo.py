@@ -58,7 +58,8 @@ def export_generator_hlo(opt: Opt, regime: str, net_path: str,
         # (B, S, S, nc*predLen) in/out around the temporal G.
         from video_filler_tpu.ops.layers3d import fold_time, unfold_time
 
-        fs = 4 * 2 ** opt.video3dLevels
+        from video_filler_tpu.models import video3d_fine_size
+        fs = video3d_fine_size(opt)
         ctx_shape = (opt.batchSize, fs, fs, opt.nc * opt.predLen)
 
         def forward(ctx_u8):

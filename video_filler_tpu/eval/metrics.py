@@ -47,9 +47,11 @@ def evaluate(opt: Opt, regime: str, n_batches: int = 8,
     """Reconstruction quality of `opt.net` over `n_batches` sampled batches:
     full-frame and hole-only L2 + PSNR (range 2.0, [-1,1] images).
 
-    Draws from Opt.evalSplit ("test" + split<100 for held-out metrics on the
-    center regime's folder dataset; default "train" matches the reference's
-    test scripts, which sample the training pump)."""
+    Draws from Opt.evalSplit ("test" + split<100 for held-out metrics —
+    folder datasets reserve a shuffled image tail, video corpora a
+    contiguous frame tail per video; the paired logo dataset has no split,
+    faithful to data/dataset_logo.lua.  Default "train" matches the
+    reference's test scripts, which sample the training pump)."""
     sampler, _ = make_sampler(opt, regime, split=opt.evalSplit)
     preprocess = make_preprocess(opt, regime)
     forward, params, bn_state = load_generator(opt, regime, opt.net)
@@ -95,7 +97,8 @@ def bench_inference(opt: Opt, regime: str, iters: int = 50) -> dict:
     forward, params, bn_state = load_generator(opt, regime, opt.net)
     rs = np.random.RandomState(0)
     if regime == "video3d":
-        side = 4 * 2 ** opt.video3dLevels  # the 3D family's input size is
+        from video_filler_tpu.models import video3d_fine_size
+        side = video3d_fine_size(opt)  # the 3D family's input size is
         # set by its spatial-halving count, not fixed at 128
         shape = (opt.batchSize, opt.predLen, side, side, opt.nc)
     else:

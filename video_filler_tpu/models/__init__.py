@@ -12,6 +12,13 @@ from video_filler_tpu.models.context_encoder_3d import (  # noqa: F401
 )
 
 
+def video3d_fine_size(opt) -> int:
+    """The 3D family's square input side.  Video3DSpec.fine_size owns the
+    formula (4 * 2**levels); serve/eval/export read it HERE instead of
+    re-deriving it, so a change to the spatial ladder propagates."""
+    return Video3DSpec(levels=opt.video3dLevels).fine_size
+
+
 def build_for_regime(opt, regime, sp_mesh=None):
     """(generator Layer, discriminator Layer) for any regime, including the
     temporal 3D family ('video3d').  sp_mesh (('data','seq') Mesh) selects

@@ -68,6 +68,7 @@ import sys
 import threading
 import time
 from concurrent.futures import Future
+from concurrent.futures import TimeoutError as FutureTimeoutError
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import jax
@@ -108,7 +109,8 @@ class InpaintServer:
             # Same wire format as the video regime — channel-folded uint8
             # clips (B, S, S, nc*predLen); serve unfolds to (B, T, S, S, nc)
             # around the temporal G and folds the prediction back.
-            self.fs = 4 * 2 ** opt.video3dLevels
+            from video_filler_tpu.models import video3d_fine_size
+            self.fs = video3d_fine_size(opt)
             self.nc_in = opt.nc * opt.predLen
             self.composable = True
         else:
@@ -368,9 +370,12 @@ class InpaintServer:
                                 t0 + REQUEST_TIMEOUT_S))
         try:
             out = fut.result(timeout=REQUEST_TIMEOUT_S)
-        except TimeoutError as e:
+        except (TimeoutError, FutureTimeoutError) as e:
             # Either fut.result's wait expired or _pop_live failed the
             # future with "request expired in queue" — 504 both ways.
+            # concurrent.futures.TimeoutError is only an alias of the
+            # builtin from 3.11; catching both keeps the 504 contract on
+            # the 3.10 floor pyproject declares.
             raise RequestTimeout(str(e) or "request timed out") from None
         with self._stats_lock:
             self._stats["requests"] += 1
