@@ -307,6 +307,46 @@ def test_grad_accum_matches_single_micro_step(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=4.1e-3)
 
 
+def test_remat_step_matches_plain_step(rng):
+    """remat=1 wraps the joint loss in jax.checkpoint — the backward replays
+    the IDENTICAL forward ops, so the post-Adam state must match the plain
+    step bit-for-bit (it is a scheduling change, not a numeric one)."""
+    batch = _video_batch()
+    key = jax.random.PRNGKey(7)
+    common = dict(TINY, batchSize=2, predLen=2, wtl2=0.999,
+                  weight_nomask=0.05)
+
+    state0 = init_train_state(rng, Opt(**common), "video")
+    s_plain, m_plain = jax.jit(make_train_step(Opt(**common), "video"))(
+        state0, batch, key)
+    s_remat, m_remat = jax.jit(
+        make_train_step(Opt(**dict(common, remat=1)), "video"))(
+        state0, batch, key)
+
+    for k in m_plain:
+        np.testing.assert_allclose(float(m_remat[k]), float(m_plain[k]),
+                                   rtol=1e-6, err_msg=k)
+    for a, b in zip(jax.tree.leaves(s_remat.params_g),
+                    jax.tree.leaves(s_plain.params_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    for a, b in zip(jax.tree.leaves(s_remat.state_g),
+                    jax.tree.leaves(s_plain.state_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_remat_composes_with_grad_accum(rng):
+    """remat under the gradAccum scan: each microbatch's forward is replayed
+    in its backward — the two memory levers stack."""
+    opt = Opt(predLen=2, wtl2=0.999, weight_nomask=0.05, gradAccum=2,
+              remat=1, **dict(TINY, batchSize=4))
+    state = init_train_state(rng, opt, "video")
+    step = jax.jit(make_train_step(opt, "video"))
+    new_state, metrics = step(state, _video_batch(b=4),
+                              jax.random.PRNGKey(3))
+    assert int(new_state.step) == 1
+    assert all(np.isfinite(float(v)) for v in metrics.values())
+
+
 def test_grad_accum_video_regime_runs(rng):
     """Accumulation also covers the masked regimes (mask + per-pixel l2
     weights split with the batch; scalars shared)."""

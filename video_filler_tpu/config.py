@@ -137,6 +137,15 @@ class Opt:
                                      # two Adam updates once on the averaged
                                      # gradients — a batch-512-effective run
                                      # on small-HBM devices
+    remat: int = 0                   # 1 = jax.checkpoint each network apply
+                                     # (replay forwards during backward).
+                                     # Numerics identical; MEASURED to give
+                                     # NO temp-memory win for this convnet
+                                     # family at ~15% extra FLOPs (scripts/
+                                     # measure_remat.py + BASELINE.md) — the
+                                     # memory levers that do work are
+                                     # gradAccum and batch size.  Kept
+                                     # opt-in for other widths/backends
     serveMaxDelayMs: float = 5.0     # serve.py dynamic batching: max wait to
                                      # fill a batch before running a partial
                                      # one (latency bound under low load)

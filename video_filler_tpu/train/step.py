@@ -207,13 +207,31 @@ def make_train_step(opt: Opt, regime: str, with_init: bool = False,
 
         noise = _draw_noise(k_noise, opt, ctx.shape[0]) if opt.noiseGen else None
 
+        # remat=1: checkpoint each NETWORK apply (G once, D per pass) so
+        # only the inter-network tensors (fake, logits, BN states) cross the
+        # fwd->bwd boundary.  MEASURED (scripts/measure_remat.py): no
+        # temp-memory win for this convnet family at ANY granularity tried
+        # (whole-loss / per-network / per-stage all read equal-or-worse temp
+        # at +10-20% FLOPs) — conv feature maps must live at checkpoint
+        # boundaries anyway and XLA already remats the cheap elementwise
+        # chains.  The flag stays opt-in for other backends/model widths;
+        # the measured memory levers here are gradAccum and batch size
+        # (BASELINE.md).
+        if opt.remat:
+            g_apply = jax.checkpoint(
+                lambda p, s, x: gen.apply(p, s, x, train=True))
+            d_apply = jax.checkpoint(
+                lambda p, s, x: disc.apply(p, s, x, train=True))
+        else:
+            g_apply = lambda p, s, x: gen.apply(p, s, x, train=True)
+            d_apply = lambda p, s, x: disc.apply(p, s, x, train=True)
+
         def loss_fn(params_g, params_d, state_g, state_d, prep):
             ctx, d_real, target, l2_w, mask, noise = (
                 prep["ctx"], prep["d_real"], prep["target"], prep["l2_w"],
                 prep.get("mask"), prep.get("noise"))
             g_in = (ctx, noise) if opt.noiseGen else ctx
-            fake, new_state_g = gen.apply(params_g, state_g, g_in,
-                                          train=True)
+            fake, new_state_g = g_apply(params_g, state_g, g_in)
             # Hard composite — only masked pixels come from G, so gradients
             # flow only through the hole.  vid_weighted composites at
             # weight_nomask==0 (train_vid_weighted.lua:429-434); mycrit
@@ -231,18 +249,17 @@ def make_train_step(opt: Opt, regime: str, with_init: bool = False,
             # --- D loss: real pass then fake pass, BN stats updated in order
             # (train.lua:299-345). stop_gradient(fake): D's update must not
             # backprop into G.
-            logit_real, sd1 = disc.apply(params_d, state_d,
-                                         d_in(d_real), train=True)
-            logit_fake, new_state_d = disc.apply(
-                params_d, sd1, d_in(jax.lax.stop_gradient(d_fake)), train=True)
+            logit_real, sd1 = d_apply(params_d, state_d, d_in(d_real))
+            logit_fake, new_state_d = d_apply(
+                params_d, sd1, d_in(jax.lax.stop_gradient(d_fake)))
             err_d_real = losses.bce_with_logits(logit_real, 1.0)
             err_d_fake = losses.bce_with_logits(logit_fake, 0.0)
             loss_d = err_d_real + err_d_fake
 
             # --- G adversarial term: the reference reuses D's fake-pass output
             # (train.lua:365); same forward here with D's params frozen.
-            logit_fake_g, _ = disc.apply(
-                jax.lax.stop_gradient(params_d), sd1, d_in(d_fake), train=True)
+            logit_fake_g, _ = d_apply(
+                jax.lax.stop_gradient(params_d), sd1, d_in(d_fake))
             err_g = losses.bce_with_logits(logit_fake_g, 1.0)
             loss_g = adv_coef * err_g
             err_g_l2 = jnp.float32(0.0)
