@@ -104,10 +104,16 @@ def test_wholeim_tiled(video_setup, tmp_path):
     assert h % 128 == 0 and w % 128 == 0
     assert os.path.exists(tmp_path / "whole/inpaint_1.png")
     assert os.path.exists(str(tmp_path / "whole") + "_inpaint.gif")
-    # outside the mask the composite equals the (padded) original
+    # outside the mask the composite equals the (padded) masked input
     pm = out["padmask"][None] > 0
     np.testing.assert_array_equal(np.where(pm, 0, out["inpaint"]),
-                                  np.where(pm, 0, out["orig"]))
+                                  np.where(pm, 0, out["input"]))
+    # orig = the UNPADDED mask-filled inputs: they match the padded input's
+    # top-left region and have no -1 pad bands
+    t_, ih, iw, _ = out["orig"].shape
+    assert ih <= out["input"].shape[1] and iw <= out["input"].shape[2]
+    np.testing.assert_array_equal(out["orig"],
+                                  out["input"][:, :ih, :iw])
     # inside the mask it equals the prediction
     np.testing.assert_array_equal(np.where(pm, out["inpaint"], 0),
                                   np.where(pm, out["pred"], 0))
@@ -140,7 +146,8 @@ def test_stream_whole_video(video_setup, tmp_path):
     os.chdir(work)
     out = run_stream(opt.replace(loadSize=160), video=0, start_frame=1,
                      num_frames=6, out_dir=str(tmp_path / "st"))
-    assert out["frames"].shape[0] == 6
+    assert out["frames"].shape[0] == 6  # bounded head buffer (≤64 frames)
+    assert out["n_frames"] == 6
     assert out["fps"] > 0
     for i in (1, 6):
         assert os.path.exists(tmp_path / f"st/inpaint_{i:05d}.png")

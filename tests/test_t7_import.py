@@ -784,3 +784,79 @@ def test_reader_fuzz_random_trees(tmp_path):
         p = tmp_path / f"fuzz{seed}.t7"
         p.write_bytes(w.buf.getvalue())
         check(tree, read_t7(str(p)), f"seed{seed}")
+
+
+# ---------------------------------------------------------------------------
+# malformed-file hardening: the reader feeds file-supplied shape/stride/offset
+# into as_strided — out-of-bounds headers must raise, never read host memory
+# ---------------------------------------------------------------------------
+
+def _raw_tensor_bytes(shape, stride, offset_1based, n_storage):
+    w = T7Writer()
+    w._i32(4)
+    w._i32(w.next_idx)
+    w.next_idx += 1
+    w._raw_str("V 1")
+    w._raw_str("torch.FloatTensor")
+    w._i32(len(shape))
+    for s in shape:
+        w._i64(s)
+    for s in stride:
+        w._i64(s)
+    w._i64(offset_1based)
+    w.storage(np.zeros(n_storage, np.float32))
+    return w.buf.getvalue()
+
+
+def test_reader_rejects_oob_tensor(tmp_path):
+    import pytest
+
+    p = tmp_path / "bad.t7"
+    # 4x4 tensor with stride (4,1) needs 16 elements; storage has 8
+    p.write_bytes(_raw_tensor_bytes((4, 4), (4, 1), 1, 8))
+    with pytest.raises(ValueError, match="exceeds its storage"):
+        read_t7(str(p))
+    # storage_offset 0 on the wire -> negative 0-based offset
+    p.write_bytes(_raw_tensor_bytes((2, 2), (2, 1), 0, 4))
+    with pytest.raises(ValueError, match="malformed t7 tensor header"):
+        read_t7(str(p))
+    # negative stride
+    p.write_bytes(_raw_tensor_bytes((2, 2), (-2, 1), 1, 4))
+    with pytest.raises(ValueError, match="malformed t7 tensor header"):
+        read_t7(str(p))
+    # huge offset
+    p.write_bytes(_raw_tensor_bytes((2, 2), (2, 1), 10**9, 4))
+    with pytest.raises(ValueError, match="exceeds its storage"):
+        read_t7(str(p))
+
+
+def test_reader_truncated_storage(tmp_path):
+    import pytest
+
+    full = _raw_tensor_bytes((2, 2), (2, 1), 1, 4)
+    p = tmp_path / "trunc.t7"
+    p.write_bytes(full[:-10])  # cut mid-storage
+    with pytest.raises(EOFError):
+        read_t7(str(p))
+
+
+def test_import_spatial_convolution_mm(tmp_path):
+    """nn.SpatialConvolutionMM serializes the flattened (out, in*kH*kW)
+    weight; the importer must accept the class name and reshape it (common
+    in older or :clearState()-converted Torch7 checkpoints)."""
+    from video_filler_tpu.checkpoint.t7 import import_sequence
+
+    rs = np.random.RandomState(0)
+    w4 = rs.randn(8, 3, 4, 4).astype(np.float32)
+    mm = ("nn.SpatialConvolutionMM",
+          {"weight": w4.reshape(8, -1), "bias": np.zeros(8, np.float32),
+           "kH": 4.0, "kW": 4.0, "nInputPlane": 3.0, "nOutputPlane": 8.0,
+           "dH": 2.0, "dW": 2.0, "padH": 1.0, "padW": 1.0})
+    wtr = T7Writer()
+    wtr.write(_seq([mm]))
+    p = tmp_path / "mm.t7"
+    p.write_bytes(wtr.buf.getvalue())
+    mods = flatten_modules(read_t7(str(p)))
+    params, _ = import_sequence(mods, ["conv0"])
+    np.testing.assert_array_equal(params["conv0"]["w"],
+                                  w4.transpose(2, 3, 1, 0))

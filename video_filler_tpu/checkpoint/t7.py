@@ -108,7 +108,12 @@ class _Reader:
 
     def _string(self) -> str:
         n = self._i32()
-        return self.f.read(n).decode("latin-1")
+        if n < 0:
+            raise ValueError(f"malformed t7 string length {n}")
+        data = self.f.read(n)
+        if len(data) != n:
+            raise EOFError("truncated t7 file")
+        return data.decode("latin-1")
 
     def read_object(self) -> Any:
         tag = self._i32()
@@ -158,12 +163,19 @@ class _Reader:
         if cls in _STORAGE_DTYPES:
             code, _ = _STORAGE_DTYPES[cls]
             n = self._i64()
-            arr = np.frombuffer(self.f.read(n * np.dtype(code).itemsize),
-                                dtype=code).copy()
+            if n < 0:
+                raise ValueError(f"malformed t7 storage size {n}")
+            nbytes = n * np.dtype(code).itemsize
+            data = self.f.read(nbytes)
+            if len(data) != nbytes:
+                raise EOFError("truncated t7 storage")
+            arr = np.frombuffer(data, dtype=code).copy()
             self.memo[idx] = arr
             return arr
         if cls in _TENSOR_CLASSES:
             nd = self._i32()
+            if nd < 0:
+                raise ValueError(f"malformed t7 tensor ndim {nd}")
             size = [self._i64() for _ in range(nd)]
             stride = [self._i64() for _ in range(nd)]
             offset = self._i64() - 1
@@ -173,10 +185,27 @@ class _Reader:
             if storage is None or nd == 0:
                 t = np.zeros(size, np.float32)
             else:
-                t = np.lib.stride_tricks.as_strided(
-                    storage[offset:],
-                    shape=size,
-                    strides=[s * storage.itemsize for s in stride]).copy()
+                # File-supplied shape/stride/offset feed as_strided below;
+                # without these bounds checks a malformed/truncated .t7 would
+                # read out-of-bounds host memory (or segfault).
+                if (offset < 0 or any(s < 0 for s in size)
+                        or any(s < 0 for s in stride)):
+                    raise ValueError(
+                        f"malformed t7 tensor header (size={size}, "
+                        f"stride={stride}, offset={offset + 1})")
+                if 0 in size:
+                    t = np.zeros(size, storage.dtype)
+                else:
+                    last = offset + sum(
+                        (sz - 1) * st for sz, st in zip(size, stride))
+                    if last >= storage.size:
+                        raise ValueError(
+                            f"t7 tensor exceeds its storage (needs element "
+                            f"{last}, storage has {storage.size})")
+                    t = np.lib.stride_tricks.as_strided(
+                        storage[offset:],
+                        shape=size,
+                        strides=[s * storage.itemsize for s in stride]).copy()
             self.memo[idx] = t
             return t
         obj = TorchObject(cls)
@@ -200,7 +229,9 @@ def read_t7(path: str) -> Any:
 
 _CONTAINERS = {"nn.Sequential", "nn.ParallelTable", "nn.ConcatTable",
                "cudnn.Sequential"}
-_CONV = {"nn.SpatialConvolution", "cudnn.SpatialConvolution"}
+_CONV = {"nn.SpatialConvolution", "cudnn.SpatialConvolution",
+         "nn.SpatialConvolutionMM"}  # MM stores the flattened 2-D weight
+                                     # layout _conv_w reshapes
 _DECONV = {"nn.SpatialFullConvolution", "cudnn.SpatialFullConvolution"}
 _BN = {"nn.SpatialBatchNormalization", "cudnn.SpatialBatchNormalization"}
 

@@ -43,18 +43,27 @@ def _prepare(opt: Opt, regime: str, batch):
 
 
 def evaluate(opt: Opt, regime: str, n_batches: int = 8,
-             seed: int = 222) -> dict:
+             seed: int = 222, loaded=None) -> dict:
     """Reconstruction quality of `opt.net` over `n_batches` sampled batches:
     full-frame and hole-only L2 + PSNR (range 2.0, [-1,1] images).
+
+    Full-frame rows are mask-composites (prediction inside the hole, ground
+    truth outside) for EVERY regime — center included, via the demo.lua:73-76
+    paste-back — so the domain is comparable across regimes.  Hole-only L2
+    is measured on the raw predicted region.
 
     Draws from Opt.evalSplit ("test" + split<100 for held-out metrics —
     folder datasets reserve a shuffled image tail, video corpora a
     contiguous frame tail per video; the paired logo dataset has no split,
     faithful to data/dataset_logo.lua.  Default "train" matches the
-    reference's test scripts, which sample the training pump)."""
+    reference's test scripts, which sample the training pump).
+
+    `loaded` short-circuits the checkpoint load with an existing
+    (forward, params, bn_state) triple — one load/upload shared with
+    bench_inference instead of two (the upload is minutes over the tunnel)."""
     sampler, _ = make_sampler(opt, regime, split=opt.evalSplit)
     preprocess = make_preprocess(opt, regime)
-    forward, params, bn_state = load_generator(opt, regime, opt.net)
+    forward, params, bn_state = loaded or load_generator(opt, regime, opt.net)
     rs = np.random.RandomState(seed)
     key = jax.random.PRNGKey(seed)
 
@@ -64,7 +73,13 @@ def evaluate(opt: Opt, regime: str, n_batches: int = 8,
         batch = preprocess(jax.tree.map(jnp.asarray, sampler(rs)), sub)
         ctx, target, mask = _prepare(opt, regime, batch)
         pred = forward(params, bn_state, ctx)
-        if mask is not None:
+        if regime == "center":
+            # hole metrics stay in the predicted-crop domain; full-frame
+            # metrics composite the crop into the real 128² frame
+            hole_pred, hole_target = pred, target
+            target = batch["real"]
+            pred_full = masks.paste_center(target, pred, opt.overlapPred)
+        elif mask is not None:
             pred_full = masks.fill_in(target, mask, pred)
         else:
             pred_full = pred
@@ -75,7 +90,9 @@ def evaluate(opt: Opt, regime: str, n_batches: int = 8,
             pf = pf.reshape((-1,) + pf.shape[2:])
             tf = tf.reshape((-1,) + tf.shape[2:])
         ssims.append(float(losses.ssim(pf, tf)))
-        if mask is not None:
+        if regime == "center":
+            hole_l2s.append(float(losses.mse(hole_pred, hole_target)))
+        elif mask is not None:
             m = jnp.broadcast_to(mask.astype(bool), pred.shape)
             denom = jnp.maximum(jnp.sum(m), 1)
             hole_l2s.append(float(
@@ -92,9 +109,11 @@ def evaluate(opt: Opt, regime: str, n_batches: int = 8,
     }
 
 
-def bench_inference(opt: Opt, regime: str, iters: int = 50) -> dict:
-    """Generator inference throughput (frames/sec) on synthetic input."""
-    forward, params, bn_state = load_generator(opt, regime, opt.net)
+def bench_inference(opt: Opt, regime: str, iters: int = 50,
+                    loaded=None) -> dict:
+    """Generator inference throughput (frames/sec) on synthetic input.
+    `loaded` reuses an existing (forward, params, bn_state) triple."""
+    forward, params, bn_state = loaded or load_generator(opt, regime, opt.net)
     rs = np.random.RandomState(0)
     if regime == "video3d":
         from video_filler_tpu.models import video3d_fine_size
@@ -135,7 +154,9 @@ def write_report(path: str, regime: str, quality: dict, speed: dict) -> None:
         f"| inference frames/s | {speed['frames_per_sec']:.1f} |",
         f"| batch latency | {speed['batch_latency_ms']:.2f} ms |",
         "",
-        f"(batches={quality['n_batches']}, batchSize={quality['batchSize']})",
+        f"(batches={quality['n_batches']}, batchSize={quality['batchSize']}; "
+        "full-frame rows are mask-composites — prediction inside the hole, "
+        "ground truth outside)",
     ]
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
@@ -154,8 +175,9 @@ def main(argv: list[str]) -> None:
         else:
             rest.append(a)
     opt = from_args(rest)
-    quality = evaluate(opt, regime)
-    speed = bench_inference(opt, regime)
+    loaded = load_generator(opt, regime, opt.net)
+    quality = evaluate(opt, regime, loaded=loaded)
+    speed = bench_inference(opt, regime, loaded=loaded)
     write_report(report_path, regime, quality, speed)
     print(json.dumps({**quality, **speed}))
 

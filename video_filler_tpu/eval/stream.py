@@ -17,7 +17,6 @@ CLI:
 
 from __future__ import annotations
 
-import math
 import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -30,25 +29,11 @@ from video_filler_tpu.config import Opt, from_args
 from video_filler_tpu.data import decode
 from video_filler_tpu.data.index import VideoCorpus
 from video_filler_tpu.eval.common import load_generator
-from video_filler_tpu.ops import masks
+from video_filler_tpu.eval.tiling import (frame_geometry, gather_tiles,
+                                          scatter_tiles)
 from video_filler_tpu.utils import save_gif, save_png
 
-VFLIP_TOP_TILES = 3
-
-
-def _prep_geometry(opt: Opt, corpus: VideoCorpus, mask01: np.ndarray):
-    probe = decode.decode_image(corpus.get_clip(0, corpus.starts[0], 1)[0],
-                                opt.nc)
-    orih, oriw = probe.shape[:2]
-    inh = opt.loadSize
-    inw = round(opt.loadSize * oriw / orih)
-    outh = math.ceil(inh / opt.fineSize) * opt.fineSize
-    outw = math.ceil(inw / opt.fineSize) * opt.fineSize
-    sc = decode.resize((mask01 * 255).astype(np.uint8), inh, inw)
-    sc_mask = masks.binarize_mask(sc.astype(np.float32) / 255.0, "gt03")
-    padmask = np.zeros((outh, outw, 1), np.uint8)
-    padmask[:inh, :inw] = sc_mask
-    return sc_mask, padmask, (inh, inw, outh, outw)
+GIF_MAX_FRAMES = 64
 
 
 def _load_window(opt: Opt, paths, sc_mask, geom):
@@ -68,26 +53,11 @@ def _tiles_of(frames: np.ndarray, fs: int, nc: int):
     """(T, outH, outW, nc) -> one (tiles, fs, fs, nc*T) batch (vflip trick)."""
     t, outh, outw, _ = frames.shape
     folded = frames.transpose(1, 2, 0, 3).reshape(outh, outw, t * nc)
-    tiles = []
-    for th in range(outh // fs):
-        for tw in range(outw // fs):
-            tile = folded[th * fs:(th + 1) * fs, tw * fs:(tw + 1) * fs]
-            if th == 0 and tw < VFLIP_TOP_TILES:
-                tile = tile[::-1]
-            tiles.append(tile)
-    return np.stack(tiles)
+    return np.stack(gather_tiles(folded, fs))
 
 
 def _scatter(out: np.ndarray, fs: int, nc: int, t: int, outh: int, outw: int):
-    pred = np.zeros((outh, outw, t * nc), out.dtype)
-    i = 0
-    for th in range(outh // fs):
-        for tw in range(outw // fs):
-            tile = out[i]
-            if th == 0 and tw < VFLIP_TOP_TILES:
-                tile = tile[::-1]
-            pred[th * fs:(th + 1) * fs, tw * fs:(tw + 1) * fs] = tile
-            i += 1
+    pred = scatter_tiles(out, fs, outh, outw)
     return pred.reshape(outh, outw, t, nc).transpose(2, 0, 1, 3)
 
 
@@ -98,13 +68,16 @@ def run_stream(opt: Opt, video: int = 0, start_frame: int | None = None,
                          variants=(("gt", 1.0 - opt.gt1Prob),
                                    ("gt1", opt.gt1Prob)))
     mask01 = decode.decode_image(opt.maskName, nc=1).astype(np.float32) / 255.0
-    sc_mask, padmask, geom = _prep_geometry(opt, corpus, mask01)
+    sc_mask, padmask, geom = frame_geometry(opt, corpus, video, mask01)
     inh, inw, outh, outw = geom
     fs, nc, pl = opt.fineSize, opt.nc, opt.predLen
 
-    start = start_frame or corpus.starts[video]
-    total = num_frames or (corpus.counts[video]
-                           - (start - corpus.starts[video]))
+    # `is None` checks: frame numbering can legitimately start at 0
+    # (VideoCorpus derives starts from min frame number), so startFrame=0
+    # must not fall through to the corpus default.
+    start = corpus.starts[video] if start_frame is None else start_frame
+    total = (corpus.counts[video] - (start - corpus.starts[video])
+             if num_frames is None else num_frames)
     total -= total % pl
     assert total > 0, "no full predLen window in the requested range"
 
@@ -126,7 +99,10 @@ def run_stream(opt: Opt, video: int = 0, start_frame: int | None = None,
 
     windows = [corpus.get_clip(video, start + k, pl)
                for k in range(0, total, pl)]
-    inpainted_all = []
+    # Only the first GIF_MAX_FRAMES frames are buffered in host memory —
+    # the full output is the per-frame PNGs written inside the loop, and a
+    # whole broadcast (10k+ frames) must not accumulate gigabytes here.
+    head = []
     t0 = time.perf_counter()
     with ThreadPoolExecutor(max_workers=1) as pool:
         # decode window k+1 on a host thread while the TPU runs window k
@@ -143,17 +119,17 @@ def run_stream(opt: Opt, video: int = 0, start_frame: int | None = None,
             for t in range(pl):
                 idx = k * pl + t + 1
                 save_png(f"{out_dir}/inpaint_{idx:05d}.png", inpaint[t])
-            inpainted_all.append(inpaint)
+            if k * pl < GIF_MAX_FRAMES:
+                head.append(inpaint)
     dt = time.perf_counter() - t0
     fps = total / dt
     print(f"streamed {total} frames in {dt:.1f}s = {fps:.1f} frames/s")
-    seq = np.concatenate(inpainted_all)
+    seq = np.concatenate(head)[:GIF_MAX_FRAMES]
     if write_gif:
         # PIL GIF quantization is slow on long/large sequences: cap at 64
         # frames, half resolution (the per-frame PNGs are the full output).
-        gif = seq[:64, ::2, ::2]
-        save_gif(f"{out_dir}_inpaint.gif", gif)
-    return {"frames": seq, "fps": fps}
+        save_gif(f"{out_dir}_inpaint.gif", seq[:, ::2, ::2])
+    return {"frames": seq, "n_frames": total, "fps": fps}
 
 
 def main(argv: list[str]) -> None:

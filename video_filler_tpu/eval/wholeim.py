@@ -27,7 +27,6 @@ frame-group — no per-tile Python loop on the hot path.
 
 from __future__ import annotations
 
-import math
 import os
 import sys
 
@@ -38,33 +37,26 @@ from video_filler_tpu.config import Opt, from_args
 from video_filler_tpu.data import decode
 from video_filler_tpu.data.index import VideoCorpus
 from video_filler_tpu.eval.common import load_generator
+from video_filler_tpu.eval.tiling import (frame_geometry, gather_tiles,
+                                          scatter_tiles)
 from video_filler_tpu.ops import masks
 from video_filler_tpu.utils import save_gif, save_png
-
-VFLIP_TOP_TILES = 3  # reference hardcodes the first three top-row tiles
 
 
 def _load_padded_frames(opt: Opt, corpus: VideoCorpus,
                         rs: np.random.RandomState,
                         mask01: np.ndarray):
     """Returns (frames, orig, padmask): frames (T, outH, outW, nc) in [-1,1]
-    mask-filled + padded; orig the unpadded [-1,1] originals; padmask
-    (outH, outW, 1) uint8."""
-    probe = decode.decode_image(corpus.get_clip(0, corpus.starts[0], 1)[0],
-                                opt.nc)
-    orih, oriw = probe.shape[:2]
-    inh = opt.loadSize
-    inw = round(opt.loadSize * oriw / orih)
-    outh = math.ceil(inh / opt.fineSize) * opt.fineSize
-    outw = math.ceil(inw / opt.fineSize) * opt.fineSize
-
-    sc = decode.resize((mask01 * 255).astype(np.uint8), inh, inw)
-    sc_mask = masks.binarize_mask(sc.astype(np.float32) / 255.0, "gt03")
-
+    mask-filled + padded; orig the unpadded [-1,1] mask-filled originals;
+    padmask (outH, outW, 1) uint8."""
     vid = rs.randint(len(corpus.suffixes))
     start = corpus.starts[vid] + rs.randint(corpus.counts[vid]
                                             - opt.predLen + 1)
     paths = corpus.get_clip(vid, start, opt.predLen)
+
+    # geometry from the video actually sampled (mixed-resolution corpora)
+    sc_mask, padmask, (inh, inw, outh, outw) = frame_geometry(
+        opt, corpus, vid, mask01)
 
     frames = np.zeros((opt.predLen, outh, outw, opt.nc), np.float32)
     orig = np.zeros((opt.predLen, inh, inw, opt.nc), np.float32)
@@ -75,9 +67,6 @@ def _load_padded_frames(opt: Opt, corpus: VideoCorpus,
         orig[t] = filled * 2.0 - 1.0
         frames[t, :inh, :inw] = filled
     frames = frames * 2.0 - 1.0  # pad region becomes -1 (reference semantics)
-
-    padmask = np.zeros((outh, outw, 1), np.uint8)
-    padmask[:inh, :inw] = sc_mask
     return frames, orig, padmask, (inh, inw, outh, outw)
 
 
@@ -93,7 +82,7 @@ def run_wholeim(opt: Opt, out_dir: str | None = None,
                          variants=(("gt", 1.0 - opt.gt1Prob),
                                    ("gt1", opt.gt1Prob)))
     mask01 = decode.decode_image(opt.maskName, nc=1).astype(np.float32) / 255.0
-    frames, orig, padmask, (inh, inw, outh, outw) = _load_padded_frames(
+    frames, orig, padmask, (_inh, _inw, outh, outw) = _load_padded_frames(
         opt, corpus, rs, mask01)
     fs = opt.fineSize
     n_th, n_tw = outh // fs, outw // fs
@@ -105,12 +94,7 @@ def run_wholeim(opt: Opt, out_dir: str | None = None,
                                                      input_len * opt.nc)
     tiles = []
     for g in range(groups):
-        for th in range(n_th):
-            for tw in range(n_tw):
-                t = folded[g, th * fs:(th + 1) * fs, tw * fs:(tw + 1) * fs]
-                if th == 0 and tw < VFLIP_TOP_TILES:
-                    t = t[::-1]  # vflip trick
-                tiles.append(t)
+        tiles += gather_tiles(folded[g], fs)  # vflip trick inside
     batch = jnp.asarray(np.stack(tiles))
 
     eval_opt = opt.replace(predLen=input_len)
@@ -118,31 +102,19 @@ def run_wholeim(opt: Opt, out_dir: str | None = None,
     use_init = with_init if with_init is not None else bool(opt.initName)
     if use_init:
         fwd_i, params_i, bn_i = load_generator(eval_opt, "video", opt.initName)
-        tile_masks = []
         mid_mask = jnp.asarray(padmask)
+        tile_masks = []
         for g in range(groups):
-            for th in range(n_th):
-                for tw in range(n_tw):
-                    m = mid_mask[th * fs:(th + 1) * fs, tw * fs:(tw + 1) * fs]
-                    if th == 0 and tw < VFLIP_TOP_TILES:
-                        m = m[::-1]
-                    tile_masks.append(m)
+            tile_masks += gather_tiles(mid_mask, fs)
         tm = jnp.stack(tile_masks)
         mid = fwd_i(params_i, bn_i, batch)
         batch = masks.fill_in(batch, tm, mid)
     out = np.asarray(forward(params, bn_state, batch))
 
     # Scatter back (un-vflip the trick tiles)
-    pred = np.zeros_like(folded)
-    i = 0
-    for g in range(groups):
-        for th in range(n_th):
-            for tw in range(n_tw):
-                t = out[i]
-                if th == 0 and tw < VFLIP_TOP_TILES:
-                    t = t[::-1]
-                pred[g, th * fs:(th + 1) * fs, tw * fs:(tw + 1) * fs] = t
-                i += 1
+    n_tiles = n_th * n_tw
+    pred = np.stack([scatter_tiles(out[g * n_tiles:(g + 1) * n_tiles],
+                                   fs, outh, outw) for g in range(groups)])
     pred_frames = pred.reshape(groups, outh, outw, input_len, opt.nc)
     pred_frames = pred_frames.transpose(0, 3, 1, 2, 4).reshape(
         opt.predLen, outh, outw, opt.nc)
@@ -156,12 +128,13 @@ def run_wholeim(opt: Opt, out_dir: str | None = None,
     for t in range(opt.predLen):
         save_png(f"{out_dir}/pred_{t + 1}.png", pred_frames[t])
         save_png(f"{out_dir}/inpaint_{t + 1}.png", inpaint[t])
-        save_png(f"{out_dir}/orig_{t + 1}.png", frames[t])
+        # orig_* are the UNPADDED mask-filled inputs (no -1 pad bands)
+        save_png(f"{out_dir}/orig_{t + 1}.png", orig[t])
     save_gif(f"{out_dir}_result.gif", pred_frames)
     save_gif(f"{out_dir}_inpaint.gif", inpaint)
-    save_gif(f"{out_dir}_orig.gif", frames)
-    return {"pred": pred_frames, "inpaint": inpaint, "orig": frames,
-            "padmask": padmask}
+    save_gif(f"{out_dir}_orig.gif", orig)
+    return {"pred": pred_frames, "inpaint": inpaint, "input": frames,
+            "orig": orig, "padmask": padmask}
 
 
 if __name__ == "__main__":

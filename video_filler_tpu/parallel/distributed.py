@@ -36,8 +36,20 @@ def initialize(coordinator_address: str | None = None,
     if coordinator_address is None and num_processes is None:
         try:
             jax.distributed.initialize()
-        except Exception:
-            return  # single-process / no cluster env: stay local
+        except Exception as e:
+            # Two errors degrade to single-process: "no cluster env
+            # detected" (auto-detect leaves coordinator_address unset ->
+            # ValueError naming it) and the late-call RuntimeError when a
+            # single-process session already touched jax.  A real cluster
+            # whose handshake fails (coordinator briefly unreachable, DNS
+            # hiccup) must die loudly instead — N hosts silently training
+            # independently against one checkpoint name is corruption,
+            # not a fallback.
+            msg = str(e)
+            if ("coordinator_address" in msg
+                    or "must be called before" in msg):
+                return  # single-process / no cluster env: stay local
+            raise
     else:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
