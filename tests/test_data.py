@@ -474,3 +474,43 @@ def test_threaded_loader_propagates_worker_errors(tmp_path):
         with pytest.raises(OSError, match="decode"):
             for _ in range(4):  # the error surfaces within a few pops
                 dl.get_batch()
+
+
+def test_logo_sampler_upscales_small_frames(tmp_path):
+    """loadSize < fineSize must upscale (same guard as center/video) instead
+    of crashing with a broadcast error inside a worker."""
+    masked_root, gt_root = synthetic.make_paired_folders(str(tmp_path), n=4,
+                                                         h=90, w=100)
+    opt = Opt(batchSize=2, loadSize=64, fineSize=128)
+    batch = logo_sampler(opt, PairedIndex(masked_root, gt_root))(
+        np.random.RandomState(0))
+    assert batch["raw_masked"].shape == (2, 128, 128, 3)
+    assert batch["raw_gt"].shape == (2, 128, 128, 3)
+
+
+def test_wholeim_sampler_upscales_small_frames(video_root):
+    """Undersized frames previously made steph/stepw negative (silent
+    mis-slice); the sampler must upscale first."""
+    opt = Opt(batchSize=1, loadSize=100, fineSize=128,
+              maskName=os.path.join(video_root, "mask.png"))
+    corpus = VideoCorpus(video_root)
+    mask = load_mask(opt.maskName)
+    batch = wholeim_sampler(opt, corpus, mask)(np.random.RandomState(2))
+    assert batch["raw_masked"].shape == (1, 128, 128, 27)
+    assert batch["raw_real"].shape == (1, 128, 128, 12)
+
+
+def test_index_cache_detects_subdir_changes(tmp_path, monkeypatch):
+    """Adding an image INSIDE a class subdir must invalidate the JSON cache:
+    only direct children touch the root's mtime, so the validity check keys
+    on the whole directory tree's mtimes."""
+    import shutil
+
+    root = synthetic.make_image_folder(str(tmp_path / "data"), n=4)
+    monkeypatch.chdir(tmp_path)
+    idx1 = FolderIndex(root, use_cache=True)
+    n1 = idx1.size()
+    src = next(iter(idx1.class_files.values()))[0]
+    shutil.copy(src, os.path.join(os.path.dirname(src), "zz_new.png"))
+    idx2 = FolderIndex(root, use_cache=True)
+    assert idx2.size() == n1 + 1

@@ -290,3 +290,32 @@ def test_sigterm_preemption_checkpoint(image_root, tmp_path, monkeypatch):
               autoResume=True, niter=100000)
     state = train(opt, "center", max_steps=2, quiet=True)
     assert int(state.step) >= 2
+
+
+def test_resume_does_not_replay_data_stream(video_root, tmp_path,
+                                            monkeypatch):
+    """A resumed run must not re-see the run's first batches: the loader is
+    reseeded with the restored global step folded in (and the per-step seed
+    stream continues from the global step instead of restarting at 0)."""
+    from video_filler_tpu.train import loop as loop_mod
+
+    seeds = []
+    orig_loader = loop_mod.DataLoader
+
+    class RecordingLoader(orig_loader):
+        def __init__(self, *a, **k):
+            seeds.append(k.get("seed"))
+            super().__init__(*a, **k)
+
+    monkeypatch.setattr(loop_mod, "DataLoader", RecordingLoader)
+    monkeypatch.chdir(tmp_path)
+    opt = Opt(DATA_ROOT=video_root, loadSize=150, predLen=2, wtl2=0.999,
+              weight_nomask=0.05,
+              maskName=os.path.join(video_root, "mask.png"), **TINY)
+    train(opt, "video", quiet=True)
+    state = train(opt.replace(loadName="train1", loadIter=1, niter=2),
+                  "video", quiet=True)
+    assert int(state.step) == 8
+    assert len(seeds) == 2 and None not in seeds
+    assert seeds[1] != seeds[0], \
+        "resumed run reused the fresh run's loader seed (data replay)"

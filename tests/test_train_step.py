@@ -382,3 +382,36 @@ def test_grad_accum_condition_adv_runs(rng):
     assert int(new_state.step) == 1
     for k, v in metrics.items():
         assert np.isfinite(float(v)), k
+
+
+def test_condition_adv_rejected_outside_center(rng):
+    """Only the center trainer builds the conditional D; other regimes must
+    reject conditionAdv loudly instead of crashing at trace time (the
+    reference forces it off in its other trainers)."""
+    import pytest
+
+    opt = Opt(wtl2=0.999, conditionAdv=True, predLen=2, **TINY)
+    with pytest.raises(ValueError, match="conditionAdv"):
+        make_train_step(opt, "video")
+
+
+def test_errg_total_is_the_optimized_objective(rng):
+    """errG_total must be the ACTUAL optimized G loss.  With uniform L2
+    weights it equals the adv + wtl2*mse decomposition; with an overlapPred
+    ring the 10x border weighting makes it strictly larger than the
+    unweighted reconstruction (the value the old metric reported)."""
+    batch = _center_batch()
+    opt_u = Opt(wtl2=0.5, overlapPred=0, **TINY)
+    state = init_train_state(rng, opt_u, "center")
+    _, m = jax.jit(make_train_step(opt_u, "center"))(
+        state, batch, jax.random.PRNGKey(1))
+    recon = 0.5 * float(m["errG"]) + 0.5 * float(m["errG_l2"])
+    np.testing.assert_allclose(float(m["errG_total"]), recon, rtol=1e-5)
+
+    opt_r = Opt(wtl2=0.5, overlapPred=4, **TINY)
+    state = init_train_state(rng, opt_r, "center")
+    _, m2 = jax.jit(make_train_step(opt_r, "center"))(
+        state, batch, jax.random.PRNGKey(1))
+    recon2 = 0.5 * float(m2["errG"]) + 0.5 * float(m2["errG_l2"])
+    assert float(m2["errG_total"]) > recon2, \
+        "ring-weighted objective should exceed the unweighted decomposition"

@@ -3,7 +3,9 @@
 The reference enumerates class subdirs then shells out to GNU ``find`` per
 class, bulk-loading paths into a CharTensor via LuaJIT ffi with a .t7 cache
 (data/dataset.lua:115-244, cache at data/donkey_folder.lua:29-32).  Here:
-``os.scandir`` + a JSON cache keyed by root path + mtime.  Same semantics:
+``os.scandir`` + a JSON cache keyed by root path + a directory-tree mtime
+signature (every descendant dir, so edits inside class subdirs invalidate
+it).  Same semantics:
 
 * classes = immediate subdirectories (or the root itself if it holds images),
 * ``sample``: uniform class, then uniform image within it
@@ -35,6 +37,21 @@ def _cache_path(root: str, tag: str) -> str:
     return os.path.join("cache", f"{mangled}_{tag}.json")
 
 
+def _tree_signature(root: str) -> list:
+    """mtimes of root and every descendant DIRECTORY.  Adding/removing/
+    renaming a file touches its parent directory's mtime, so this detects
+    corpus edits at any depth; the root's mtime alone misses changes inside
+    class subdirectories (only direct children touch it).  Stats directories
+    only — far cheaper than rescanning the files."""
+    sig = [[".", os.path.getmtime(root)]]
+    for dirpath, dirnames, _ in os.walk(root):
+        dirnames.sort()
+        for d in dirnames:
+            p = os.path.join(dirpath, d)
+            sig.append([os.path.relpath(p, root), os.path.getmtime(p)])
+    return sig
+
+
 def _scan_images(d: str) -> list[str]:
     out = []
     for entry in sorted(os.scandir(d), key=lambda e: e.name):
@@ -60,7 +77,7 @@ class FolderIndex:
                     data = json.load(f)
             except (json.JSONDecodeError, OSError):
                 data = {}  # concurrent writer / corrupt cache: rescan below
-            if data.get("mtime") == os.path.getmtime(root):
+            if data.get("signature") == _tree_signature(root):
                 self.classes = data["classes"]
                 self.class_files = data["files"]
         if not self.classes:
@@ -82,7 +99,7 @@ class FolderIndex:
                 # a reader must never see a half-written file.
                 tmp = f"{cache}.{os.getpid()}.tmp"
                 with open(tmp, "w") as f:
-                    json.dump({"mtime": os.path.getmtime(root),
+                    json.dump({"signature": _tree_signature(root),
                                "classes": self.classes,
                                "files": self.class_files}, f)
                 os.replace(tmp, cache)

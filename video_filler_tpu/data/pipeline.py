@@ -131,6 +131,13 @@ def logo_sampler(opt: Opt, paired: PairedIndex) -> Callable:
                     f"paired images differ in size: {pm} vs {pg} "
                     "(donkey_folder_logo.lua:77-78 asserts equality)")
             h, w = im.shape[:2]
+            if h < fs or w < fs:
+                # Undersized frames (loadSize=0 or < fineSize): upscale so
+                # the crop fits, matching center_sampler._python_one — same
+                # resize for both halves keeps the pair aligned.
+                im = decode.resize(im, max(h, fs), max(w, fs))
+                ig = decode.resize(ig, max(h, fs), max(w, fs))
+                h, w = im.shape[:2]
             y, x = _random_crop_hw(rs, h, w, fs, fs)
             masked[i] = im[y:y + fs, x:x + fs]
             gt[i] = ig[y:y + fs, x:x + fs]
@@ -293,6 +300,12 @@ def wholeim_sampler(opt: Opt, corpus: VideoCorpus,
         """Mask-fill + translate + flip + dark-check + slice one decoded
         frame; None = dark-rejected (the caller redraws)."""
         h, w = img.shape[:2]
+        if h < fs or w < fs:
+            # Undersized frames: upscale so the patch grid fits (steph/stepw
+            # below go NEGATIVE for h < fs, silently mis-slicing), matching
+            # the other samplers' guard.
+            img = decode.resize(img, max(h, fs), max(w, fs))
+            h, w = img.shape[:2]
         m3 = np.broadcast_to(_mask_at(h, w), img.shape)
         masked_img = np.where(m3 > 0, np.uint8(fill), img)
 

@@ -80,15 +80,11 @@ def overlap_l2_weights(shape_hw: tuple[int, int], overlap_pred: int,
     """wtl2Matrix (train.lua:391-392): border ring of width overlapPred gets
     overlap_weight*wtl2, interior gets wtl2.  Returns an (H, W, 1) map."""
     h, w = shape_hw
+    if overlap_pred <= 0:
+        return jnp.full((h, w, 1), wtl2, dtype=jnp.float32)
     mat = jnp.full((h, w, 1), overlap_weight * wtl2, dtype=jnp.float32)
-    if overlap_pred > 0:
-        interior = jnp.full((h - 2 * overlap_pred, w - 2 * overlap_pred, 1),
-                            wtl2, dtype=jnp.float32)
-        mat = mat.at[overlap_pred:h - overlap_pred,
-                     overlap_pred:w - overlap_pred].set(interior)
-    else:
-        mat = jnp.full((h, w, 1), wtl2, dtype=jnp.float32)
-    return mat
+    return mat.at[overlap_pred:h - overlap_pred,
+                  overlap_pred:w - overlap_pred].set(wtl2)
 
 
 def gdl(pred: jax.Array, target: jax.Array, alpha: int = 1) -> jax.Array:

@@ -109,10 +109,6 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
             print("display grids disabled under multi-host (outputs are "
                   "globally sharded)")
     sampler, ds_size = make_sampler(sampler_opt, regime)
-    # Hosts draw disjoint sample streams: offset the data seed per process
-    # (model/init seed stays shared).
-    loader = DataLoader(sampler, opt.nThreads, seed=seed + 7919 * proc,
-                        prefetch_depth=opt.prefetchDepth)
 
     sp_mesh = None
     if opt.seqParallel > 1:
@@ -201,6 +197,21 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
     else:
         state = parallel.shard_train_state(mesh, state)
 
+    # Resume continuity: fold the restored global step into both RNG
+    # streams.  step_seed continues exactly where the interrupted run
+    # stopped (an uninterrupted run's per-step seeds are a function of the
+    # global step), and the loader draws a fresh per-resume stream — without
+    # this a resumed run replays the run's FIRST batches/crops/flips/masks/
+    # noise, systematically over-training that prefix under repeated
+    # preemption.  (The loader stream itself is stateful and cannot be
+    # fast-forwarded to the interruption point, so resume is exact for
+    # model/optimizer/step-seed state, fresh-but-disjoint for the data
+    # order.)  Hosts still draw disjoint streams via the proc offset.
+    step0 = int(jax.device_get(state.step))
+    loader = DataLoader(sampler, opt.nThreads,
+                        seed=seed + 7919 * proc + 104729 * step0,
+                        prefetch_depth=opt.prefetchDepth)
+
     init_net = None
     with_init = bool(opt.withInit and opt.initName)
     if with_init:
@@ -235,23 +246,34 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
         fused = jax.jit(_fused, donate_argnums=0)
 
     # Preview pass for the display grids (the reference runs an extra batch
-    # through G every display_iter steps, train.lua:427-445).
+    # through G every display_iter steps, train.lua:427-445).  It mirrors
+    # training's input distribution: noise drawn by the SAME helper the step
+    # uses (uniform vs normal matters — N(0,1) into a U(-1,1)-trained G makes
+    # the grids misrepresent the model), a key split so preprocess and noise
+    # never share randomness, and the withInit netI cascade applied when G
+    # was trained behind one.
     gen = build_for_regime(opt, regime)[0]
 
-    @jax.jit
-    def preview(params_g, state_g, host_batch, key):
-        batch = preprocess(host_batch, key)
+    def _preview(params_g, state_g, host_batch, key, init_nets=None):
+        from video_filler_tpu.train.step import _draw_noise
+        kp, kn = jax.random.split(key)
+        batch = preprocess(host_batch, kp)
         g_in = batch.get("masked")
         if g_in is None:
             g_in = (masks.center_mask_fill(batch["real"], opt.overlapPred)
                     if regime == "center" else
                     masks.apply_logo_mask(batch["real"], batch["mask"],
                                           opt.maskValue))
+        if init_nets is not None:
+            fake_init, _ = gen.apply(init_nets[0], init_nets[1], g_in,
+                                     train=False)
+            g_in = masks.fill_in(g_in, batch["mask"], fake_init)
         if opt.noiseGen:
-            g_in = (g_in, jax.random.normal(
-                key, (g_in.shape[0], 1, 1, opt.nz)))
+            g_in = (g_in, _draw_noise(kn, opt, g_in.shape[0]))
         fake, _ = gen.apply(params_g, state_g, g_in, train=False)
         return batch, fake
+
+    preview = jax.jit(_preview)
 
     # Per-process JSONL under multi-host (same shared-FS file would garble).
     logger = MetricsLogger(opt.name if is_main else f"{opt.name}_p{proc}",
@@ -342,7 +364,8 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
                 host_batch = loader.get_batch()
                 t_data = time.perf_counter() - t0
                 dev_batch = to_device(host_batch)
-                step_seed = np.int64(seed * 1_000_003 + done) % np.int64(2**31)
+                step_seed = np.int64(seed * 1_000_003 + step0 + done) \
+                    % np.int64(2**31)
                 args = (state, dev_batch, np.int32(step_seed)) \
                     + ((init_net,) if with_init else ())
                 state, metrics = fused(*args)
@@ -350,8 +373,9 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
                         (step + 1) % opt.display_iter == 0:
                     key, kp = jax.random.split(key)
                     pb = parallel.shard_batch(mesh, loader.get_batch())
-                    shown, fake = preview(state.params_g, state.state_g,
-                                          pb, kp)
+                    shown, fake = preview(
+                        state.params_g, state.state_g, pb, kp,
+                        *((init_net,) if with_init else ()))
                     _display_dump(opt, regime, jax.device_get(shown),
                                   fake, "display", epoch, step + 1)
                 _flush_log()
@@ -367,7 +391,8 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
                     p = save_checkpoint(
                         opt.checkpointDir, opt.name, epoch, state,
                         meta={"epoch": epoch, "regime": regime,
-                              "seed": seed, "preempted_at_step": done})
+                              "seed": seed,
+                              "preempted_at_step": step0 + done})
                     if not quiet:
                         print(f"SIGTERM: checkpointed {p} at epoch {epoch} "
                               f"step {done}; exiting cleanly")
@@ -409,14 +434,19 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
         pass
     finally:
         propagating = sys.exc_info()[0] is not None
+        # Cleanup failures worth surfacing (divergence caught at the final
+        # flush, a failed async checkpoint write) are DEFERRED to the end of
+        # this block instead of raised in place: raising mid-finally would
+        # skip the remaining teardown (loader workers decoding forever in a
+        # long-lived process, an open JSONL, a stale SIGTERM handler), and
+        # they must never REPLACE an exception already propagating out of
+        # the loop — that would hide the real cause of the abort.
+        deferred = None
         try:
             _flush_log()
-        except Exception:
-            # A flush failure (divergence detection, a device_get on a dead
-            # tunnel) must not REPLACE an exception already propagating out
-            # of the loop — that would hide the real cause of the abort.
+        except Exception as e:
             if not propagating:
-                raise
+                deferred = e
         if prof_started and not prof_done:
             jax.profiler.stop_trace()
         loader.close()
@@ -425,13 +455,13 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
             dashboard.close()
         try:
             wait_pending_saves()
-        except Exception:
-            # Same rule as the flush above: a failed-checkpoint report must
-            # not REPLACE the exception that actually aborted training.
-            if not propagating:
-                raise
+        except Exception as e:
+            if not propagating and deferred is None:
+                deferred = e
         if old_sigterm is not None:
             signal.signal(signal.SIGTERM, old_sigterm)
+        if deferred is not None:
+            raise deferred
     return state
 
 

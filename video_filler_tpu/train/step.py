@@ -141,6 +141,15 @@ def make_train_step(opt: Opt, regime: str, with_init: bool = False,
                 'mask': same-shape {0,1},
                 'masked': (B,fs,fs,nc*arrh*arrw) input patch array}
     """
+    if opt.conditionAdv and regime != "center":
+        # Only the center trainer builds the conditional D (specs_for_regime);
+        # wrapping another regime's D input in a (ctx, x) tuple would crash at
+        # trace time with an opaque tuple-attribute error.  The reference
+        # forces conditionAdv off in all M-variants (train_logo_withmask
+        # .lua:43); reject it loudly here.
+        raise ValueError(
+            f"conditionAdv is only supported for regime=center, not "
+            f"{regime!r} (the reference forces it off in its other trainers)")
     gen, disc = build_for_regime(opt, regime, sp_mesh=sp_mesh)
     tx_g, tx_d = _optimizers(opt)
     wtl2 = float(opt.wtl2)
@@ -298,8 +307,11 @@ def make_train_step(opt: Opt, regime: str, with_init: bool = False,
             aux = dict(new_state_g=new_state_g, new_state_d=new_state_d,
                        errD=loss_d, errD_real=err_d_real, errD_fake=err_d_fake,
                        errG=err_g, errG_l2=err_g_l2, errG_gdl=err_g_gdl,
-                       errG_total=(adv_coef * err_g + wtl2 * err_g_l2
-                                   + opt.wtgdl * err_g_gdl))
+                       # the ACTUAL optimized G objective (weighted L2 incl.
+                       # the overlap ring / mask-blend weights; quirk path
+                       # forward-evaluates to the GDL value) — not a
+                       # reconstruction from the unweighted parts
+                       errG_total=loss_g)
             # loss_d depends only on params_d (fake is stopped); loss_g only on
             # params_g (D params stopped) — one backward yields both gradients.
             return loss_g + loss_d, aux
