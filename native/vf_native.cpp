@@ -59,7 +59,14 @@ bool decode_jpeg(FILE* f, Image* out) {
   jpeg_start_decompress(&cinfo);
   out->w = cinfo.output_width;
   out->h = cinfo.output_height;
-  out->data.resize(size_t(out->h) * out->w * 3);
+  try {
+    out->data.resize(size_t(out->h) * out->w * 3);
+  } catch (...) {
+    // decompression-bomb header (e.g. 60000x60000 -> ~10 GB): treat as a
+    // decode failure instead of leaking cinfo while the alloc error unwinds
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
   while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* row = out->data.data() + size_t(cinfo.output_scanline) * out->w * 3;
     jpeg_read_scanlines(&cinfo, &row, 1);
@@ -79,7 +86,12 @@ bool decode_png(const char* path, Image* out) {
   img.format = PNG_FORMAT_RGB;
   out->w = img.width;
   out->h = img.height;
-  out->data.resize(PNG_IMAGE_SIZE(img));
+  try {
+    out->data.resize(PNG_IMAGE_SIZE(img));
+  } catch (...) {
+    png_image_free(&img);
+    return false;
+  }
   if (!png_image_finish_read(&img, nullptr, out->data.data(), 0, nullptr)) {
     png_image_free(&img);
     return false;
@@ -218,11 +230,16 @@ extern "C" {
 
 // Decode one image; returns (h, w) without pixel output. 0 on success.
 int vf_image_size(const char* path, int* h, int* w) {
-  Image img;
-  if (!decode_file(path, &img)) return 1;
-  *h = img.h;
-  *w = img.w;
-  return 0;
+  // A C++ exception must never cross the extern "C" / ctypes boundary (UB).
+  try {
+    Image img;
+    if (!decode_file(path, &img)) return 1;
+    *h = img.h;
+    *w = img.w;
+    return 0;
+  } catch (...) {
+    return 1;
+  }
 }
 
 // Decode + short-side-resize `n` single frames in parallel (the wholeim /
@@ -240,29 +257,40 @@ int vf_load_frames(const char** paths, int n, int load_size, int max_h,
 
   auto worker = [&]() {
     for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
-      Image img;
-      int nh = 0, nw = 0;
-      bool ok = decode_file(paths[i], &img);
-      if (ok) {
-        short_side_dims(img, load_size, &nh, &nw);
-        ok = nh <= max_h && nw <= max_w;
-      }
-      uint8_t* dst = out + slot * i;
-      if (!ok) {
+      // Per-item exception containment: an uncaught std::bad_alloc (e.g.
+      // an extreme-aspect frame whose resize needs gigabytes) inside a
+      // std::thread would std::terminate the whole host process; count the
+      // frame failed instead — the Python fallback owns it, matching the
+      // documented per-item failure contract.
+      try {
+        Image img;
+        int nh = 0, nw = 0;
+        bool ok = decode_file(paths[i], &img);
+        if (ok) {
+          short_side_dims(img, load_size, &nh, &nw);
+          ok = nh <= max_h && nw <= max_w;
+        }
+        uint8_t* dst = out + slot * i;
+        if (!ok) {
+          hw[i * 2 + 0] = 0;
+          hw[i * 2 + 1] = 0;
+          failures.fetch_add(1);
+          continue;
+        }
+        hw[i * 2 + 0] = nh;
+        hw[i * 2 + 1] = nw;
+        if (nh == img.h && nw == img.w) {  // no resize: copy rows to slot
+          for (int y = 0; y < nh; ++y) {
+            memcpy(dst + size_t(y) * max_w * 3,
+                   img.data.data() + size_t(y) * nw * 3, size_t(nw) * 3);
+          }
+        } else {  // resize straight into the strided slot — no temp frame
+          resize_bilinear_into(img, nh, nw, dst, size_t(max_w) * 3);
+        }
+      } catch (...) {
         hw[i * 2 + 0] = 0;
         hw[i * 2 + 1] = 0;
         failures.fetch_add(1);
-        continue;
-      }
-      hw[i * 2 + 0] = nh;
-      hw[i * 2 + 1] = nw;
-      if (nh == img.h && nw == img.w) {  // no resize: copy rows into the slot
-        for (int y = 0; y < nh; ++y) {
-          memcpy(dst + size_t(y) * max_w * 3,
-                 img.data.data() + size_t(y) * nw * 3, size_t(nw) * 3);
-        }
-      } else {  // resize straight into the strided slot — no temp frame
-        resize_bilinear_into(img, nh, nw, dst, size_t(max_w) * 3);
       }
     }
   };
@@ -295,6 +323,9 @@ int vf_load_clips(const char** paths, int n_clips, int frames, int load_size,
   auto worker = [&]() {
     for (int ci = next.fetch_add(1); ci < n_clips; ci = next.fetch_add(1)) {
       uint8_t* dst = out + clip_bytes * ci;
+      // Same per-item exception containment as vf_load_frames: a bad_alloc
+      // escaping this std::thread would std::terminate the host process.
+      try {
       uint64_t seed = seeds[ci] ? seeds[ci] : 0x9E3779B97F4A7C15ULL;
       bool ok = true;
       int y0 = 0, x0 = 0, rh = 0, rw = 0;
@@ -340,6 +371,14 @@ int vf_load_clips(const char** paths, int n_clips, int frames, int load_size,
         offsets[ci * 4 + 1] = x0;
         offsets[ci * 4 + 2] = rh;
         offsets[ci * 4 + 3] = rw;
+      }
+      } catch (...) {
+        memset(dst, 0, clip_bytes);
+        failures.fetch_add(1);
+        if (offsets) {
+          offsets[ci * 4 + 0] = offsets[ci * 4 + 1] = 0;
+          offsets[ci * 4 + 2] = offsets[ci * 4 + 3] = 0;
+        }
       }
     }
   };

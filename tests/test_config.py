@@ -56,3 +56,39 @@ def test_derived_channel_widths():
 def test_fine_size_validation():
     with pytest.raises(ValueError, match="divisible by 4"):
         Opt(fineSize=130)
+
+
+def test_coerce_bool_words_and_bad_values():
+    """'conditionAdv=false' must DISABLE the flag (the reference's Lua
+    coercion stored the truthy string — a footgun we refuse to replicate),
+    and malformed bool/int values fail loudly with the key named."""
+    opt = from_args(["conditionAdv=false", "display=off", "noiseGen=true",
+                     "autoResume=False"])
+    assert opt.conditionAdv is False and opt.display is False
+    assert opt.noiseGen is True and opt.autoResume is False
+
+    with pytest.raises(SystemExit, match="conditionAdv"):
+        from_args(["conditionAdv=maybe"])
+    with pytest.raises(SystemExit, match="batchSize"):
+        from_args(["batchSize=nan"])
+    with pytest.raises(SystemExit, match="niter"):
+        from_args(["niter=inf"])
+    with pytest.raises(SystemExit, match="batchSize"):
+        from_args(["batchSize=2.5"])
+    # float fields still take inf (ntrain's default IS math.inf)
+    assert from_args(["ntrain=inf"]).ntrain == math.inf
+    # env-var path reports the variable too
+    with pytest.raises(SystemExit, match="env var display"):
+        from_env(environ={"display": "wibble"})
+
+
+def test_split_regime_shared_cli_helper():
+    from video_filler_tpu.config import split_regime
+
+    regime, rest = split_regime(["regime=video3d", "batchSize=4"])
+    assert regime == "video3d" and rest == ["batchSize=4"]
+    assert split_regime([], default="video")[0] == "video"
+    with pytest.raises(SystemExit, match="unknown regime"):
+        split_regime(["regime=vidoe3d"])  # typo caught, not a deep traceback
+    with pytest.raises(SystemExit, match="key=value"):
+        split_regime(["video"])

@@ -514,3 +514,35 @@ def test_index_cache_detects_subdir_changes(tmp_path, monkeypatch):
     shutil.copy(src, os.path.join(os.path.dirname(src), "zz_new.png"))
     idx2 = FolderIndex(root, use_cache=True)
     assert idx2.size() == n1 + 1
+
+
+def test_native_survives_decompression_bomb(tmp_path):
+    """A malicious/corrupt image whose header claims a huge size must be
+    counted as a per-item failure, not std::terminate the host process
+    (native worker threads contain exceptions)."""
+    import struct
+    import zlib
+
+    from video_filler_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native .so unavailable")
+
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload)))
+
+    # PNG signature + IHDR claiming 40000x40000 RGB, then no image data:
+    # libpng reads the header fine; the multi-GB buffer alloc (or the
+    # missing IDAT) must fail the item cleanly either way.
+    ihdr = struct.pack(">IIBBBBB", 40000, 40000, 8, 2, 0, 0, 0)
+    bomb = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IEND", b""))
+    p = tmp_path / "bomb.png"
+    p.write_bytes(bomb)
+
+    buf, hw, fails = native.load_frames([str(p)], 240, 480, 480)
+    assert fails == 1 and tuple(hw[0]) == (0, 0)
+    out, offs, fails = native.load_clips([[str(p)]], 240, 128,
+                                         np.ones(1, np.uint64))
+    assert fails == 1 and offs[0, 2] == 0

@@ -200,6 +200,10 @@ def test_dashboard_serves_metrics_and_grids(tmp_path, monkeypatch):
         assert imgs == ["dash_e1_s1_fake.png"]
         png = urllib.request.urlopen(f"{base}/img/{imgs[0]}", timeout=10).read()
         assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        # malformed n= must 400, not crash the handler with no response
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(f"{base}/metrics?n=abc", timeout=10)
+        assert e.value.code == 400
     finally:
         d.close()
 

@@ -433,3 +433,24 @@ def test_serve_malformed_request_does_not_kill_worker(tmp_path):
         assert out.shape == (1, 128, 128, 6)
     finally:
         srv.close()
+
+
+def test_serve_rejects_float_mask_and_ctx(video_server):
+    """A float [0,1] mask would be unsafe-cast into the uint8 batch buffer,
+    truncating every anti-aliased pixel to 0 — a silent no-op inpaint.  Both
+    the HTTP path and direct infer() must 400/raise instead."""
+    srv = video_server
+    rs = np.random.RandomState(3)
+    ctx = rs.randint(0, 256, (128, 128, 6), np.uint8)
+    fmask = np.zeros((128, 128, 1), np.float32)
+    fmask[40:80, 40:80] = 0.7
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(srv.port, ctx=ctx, mask=fmask)
+    assert e.value.code == 400 and b"uint8" in e.value.read()
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(srv.port, ctx=ctx.astype(np.float32))
+    assert e.value.code == 400
+    with pytest.raises(ValueError, match="uint8"):
+        srv.infer(ctx[None].astype(np.float32), None)
+    with pytest.raises(ValueError, match="uint8"):
+        srv.infer(ctx[None], fmask[None])

@@ -15,15 +15,35 @@ import os
 from typing import Any
 
 
+_BOOL_WORDS = {"true": True, "false": False, "yes": True, "no": False,
+               "on": True, "off": False}
+
+
 def _coerce(raw: str, default: Any) -> Any:
-    """Reference coercion order: number first, else raw string (train.lua:35)."""
+    """Reference coercion order: number first, else raw string (train.lua:35).
+
+    Two deliberate divergences, both loud: bool fields accept true/false
+    words (the reference's `tonumber('false') or raw` stores the STRING,
+    which is truthy — `conditionAdv=false` silently enabling the flag is a
+    footgun we refuse to replicate), and malformed bool/int values raise
+    ValueError (wrapped with the key name by the callers) instead of
+    sliding through as a float or string."""
+    if isinstance(default, bool):
+        word = raw.strip().lower()
+        if word in _BOOL_WORDS:
+            return _BOOL_WORDS[word]
+        try:
+            return bool(float(raw))
+        except ValueError:
+            raise ValueError(f"expected a boolean (0/1/true/false), "
+                             f"got {raw!r}")
     try:
         num = float(raw)
     except ValueError:
         return raw
-    if isinstance(default, bool):
-        return bool(num)
-    if isinstance(default, int) and num == int(num):
+    if isinstance(default, int):
+        if not math.isfinite(num) or num != int(num):
+            raise ValueError(f"expected an integer, got {raw!r}")
         return int(num)
     if isinstance(default, str):
         return raw
@@ -149,6 +169,10 @@ class Opt:
     serveMaxDelayMs: float = 5.0     # serve.py dynamic batching: max wait to
                                      # fill a batch before running a partial
                                      # one (latency bound under low load)
+    serveHost: str = "localhost"     # serve.py bind address; 0.0.0.0 puts
+                                     # the pod behind a load balancer
+                                     # (/healthz rotation) — the default
+                                     # stays loopback-only
     evalSplit: str = "train"         # eval/metrics data split: "test" gives
                                      # honest held-out metrics (needs
                                      # split<100) on the center folder
@@ -217,7 +241,10 @@ def from_env(base: Opt | None = None, environ: dict[str, str] | None = None) -> 
     for f in dataclasses.fields(opt):
         raw = env.get(f.name)
         if raw is not None:
-            updates[f.name] = _coerce(raw, getattr(opt, f.name))
+            try:
+                updates[f.name] = _coerce(raw, getattr(opt, f.name))
+            except ValueError as e:
+                raise SystemExit(f"bad value for env var {f.name}: {e}")
     return opt.replace(**updates) if updates else opt
 
 
@@ -232,5 +259,34 @@ def from_args(argv: list[str], base: Opt | None = None) -> Opt:
         k, v = arg.split("=", 1)
         if k not in names:
             raise SystemExit(f"unknown option {k!r}")
-        updates[k] = _coerce(v, getattr(opt, k))
+        try:
+            updates[k] = _coerce(v, getattr(opt, k))
+        except ValueError as e:
+            raise SystemExit(f"bad value for {k}: {e}")
     return opt.replace(**updates) if updates else opt
+
+
+REGIMES = ("center", "video", "logo", "wholeim", "video3d")
+
+
+def split_regime(argv: list[str], default: str = "center"
+                 ) -> tuple[str, list[str]]:
+    """Extract ``regime=<name>`` from key=value argv, validated against
+    REGIMES — shared by the train and serve CLIs so both reject typos with
+    the same clean error instead of a deep traceback."""
+    regime, rest = default, []
+    for a in argv:
+        if "=" not in a:
+            # Silently dropping a positional token (e.g. a mistyped regime)
+            # would train/serve the wrong model for hours.
+            raise SystemExit(f"expected key=value, got {a!r} "
+                             "(regime=<name> selects the model family)")
+        k, v = a.split("=", 1)
+        if k == "regime":
+            regime = v
+        else:
+            rest.append(a)
+    if regime not in REGIMES:
+        raise SystemExit(f"unknown regime {regime!r}; expected one of "
+                         f"{', '.join(REGIMES)}")
+    return regime, rest

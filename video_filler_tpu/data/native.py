@@ -111,7 +111,17 @@ def load_clips(clip_paths: list[list[str]], load_size: int, crop: int,
     lib = _load()
     assert lib is not None
     n = len(clip_paths)
+    if n == 0:
+        return (np.empty((0, crop, crop, 0), np.uint8),
+                np.zeros((0, 4), np.int32), 0)
     frames = len(clip_paths[0])
+    # The C side indexes paths[ci*frames + fi]: a ragged clip list would
+    # read past the ctypes array (garbage pointers into fopen), and an
+    # empty clip hits imgs[0] on an empty vector — both UB, reject here.
+    if frames == 0 or any(len(c) != frames for c in clip_paths):
+        raise ValueError(
+            "load_clips needs equal-length, non-empty clips; got lengths "
+            f"{sorted({len(c) for c in clip_paths})}")
     flat = [p.encode() for clip in clip_paths for p in clip]
     arr = (ctypes.c_char_p * len(flat))(*flat)
     out = np.empty((n, crop, crop, frames * 3), np.uint8)

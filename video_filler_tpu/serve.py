@@ -69,7 +69,9 @@ import threading
 import time
 from concurrent.futures import Future
 from concurrent.futures import TimeoutError as FutureTimeoutError
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from http.server import ThreadingHTTPServer
+
+from video_filler_tpu.utils.httpbase import QuietHandler
 
 import jax
 import jax.numpy as jnp
@@ -341,12 +343,22 @@ class InpaintServer:
         if ctx.shape[1:] != (self.fs, self.fs, self.nc_in):
             raise ValueError(f"ctx rows must be ({self.fs},{self.fs},"
                              f"{self.nc_in}), got {ctx.shape[1:]}")
+        if ctx.dtype != np.uint8:
+            raise ValueError(f"ctx must be uint8 [0,255], got {ctx.dtype}")
         if mask is not None and mask.shape != (n, self.fs, self.fs, 1):
             raise ValueError(f"mask must be ({n},{self.fs},{self.fs},1), "
                              f"got {mask.shape}")
+        if mask is not None and mask.dtype != np.uint8:
+            # A float [0,1] mask would be unsafe-cast into the uint8 batch
+            # buffer, truncating every fractional pixel to 0 (outside the
+            # hole) — a silent no-op inpaint.  Make the client binarize.
+            raise ValueError(f"mask must be uint8 {{0,1}}, got {mask.dtype}"
+                             " — binarize client-side")
         if noise is not None and noise.shape != (n, 1, 1, self.nz):
             raise ValueError(f"noise must be ({n},1,1,{self.nz}), "
                              f"got {noise.shape}")
+        if noise is not None and noise.dtype != np.float32:
+            noise = np.asarray(noise, np.float32)
         t0 = time.perf_counter()
         fut: Future = Future()
         with self._stats_lock:
@@ -388,17 +400,7 @@ class InpaintServer:
     def _handler_class(self):
         server = self
 
-        class Handler(BaseHTTPRequestHandler):
-            def log_message(self, *a):
-                pass
-
-            def _send(self, code, ctype, body: bytes):
-                self.send_response(code)
-                self.send_header("Content-Type", ctype)
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
-
+        class Handler(QuietHandler):
             def do_GET(self):
                 if self.path == "/healthz":
                     # Draining pods must drop out of balancer rotation NOW,
@@ -514,13 +516,8 @@ class InpaintServer:
 
 
 def main(argv: list[str]) -> None:
-    regime, rest = "video", []
-    for a in argv:
-        k, _, v = a.partition("=")
-        if k == "regime":
-            regime = v
-        else:
-            rest.append(a)
+    from video_filler_tpu.config import split_regime
+    regime, rest = split_regime(argv, default="video")
     opt = from_args(rest)
     if not opt.net:
         raise SystemExit("serve needs net=<checkpoint .npz or .t7>")
@@ -531,11 +528,12 @@ def main(argv: list[str]) -> None:
                       host_keyed_cache_dir(os.path.join(
                           os.path.expanduser("~"), ".cache", "vf_tpu_jit")))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    srv = InpaintServer(opt, regime, opt.net, port=opt.display_port,
+    srv = InpaintServer(opt, regime, opt.net, host=opt.serveHost,
+                        port=opt.display_port,
                         max_delay_ms=opt.serveMaxDelayMs,
                         device_thread=False)
     print(f"serving {opt.net} (regime={regime}, batch={opt.batchSize}) on "
-          f"http://localhost:{srv.port}/  — POST /inpaint, GET /stats",
+          f"http://{opt.serveHost}:{srv.port}/  — POST /inpaint, GET /stats",
           flush=True)
     # Graceful shutdown: SIGTERM (pod preemption / rollout) drains — new
     # requests get 503, accepted ones are answered, then the loop returns.

@@ -37,7 +37,7 @@ from video_filler_tpu.checkpoint import (
     wait_pending_saves,
 )
 from video_filler_tpu.models import build_for_regime
-from video_filler_tpu.config import Opt, from_args
+from video_filler_tpu.config import REGIMES, Opt, from_args, split_regime
 from video_filler_tpu.data.pipeline import DataLoader, make_sampler
 from video_filler_tpu.ops import masks
 from video_filler_tpu.train.step import (
@@ -76,7 +76,6 @@ def _display_dump(opt: Opt, regime: str, batch, fake, out_dir: str,
                     np.asarray(comp)[..., :nc])
 
 
-REGIMES = ("center", "video", "logo", "wholeim", "video3d")
 
 
 def train(opt: Opt, regime: str, max_steps: int | None = None,
@@ -468,19 +467,7 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
 def main(argv: list[str]) -> None:
     # Multi-host handshake (cluster auto-detect); no-op for a single process.
     distributed.initialize()
-    regime = "center"
-    rest = []
-    for a in argv:
-        if "=" not in a:
-            # Silently dropping a positional token (e.g. a mistyped regime)
-            # would train the wrong model for hours.
-            raise SystemExit(f"expected key=value, got {a!r} "
-                             "(regime=<name> selects the trainer)")
-        k, v = a.split("=", 1)
-        if k == "regime":
-            regime = v
-        else:
-            rest.append(a)
+    regime, rest = split_regime(argv)
     opt = from_args(rest)
     train(opt, regime)
 

@@ -20,8 +20,10 @@ from __future__ import annotations
 import json
 import os
 import threading
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from http.server import ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
+
+from video_filler_tpu.utils.httpbase import QuietHandler
 
 _PAGE = """<!doctype html><html><head><title>video_filler_tpu — {name}</title>
 <style>
@@ -73,24 +75,20 @@ class Dashboard:
         self.img_dir = img_dir
         dash = self
 
-        class Handler(BaseHTTPRequestHandler):
-            def log_message(self, *a):  # quiet
-                pass
-
-            def _send(self, code, ctype, body: bytes):
-                self.send_response(code)
-                self.send_header("Content-Type", ctype)
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
-
+        class Handler(QuietHandler):
             def do_GET(self):
                 url = urlparse(self.path)
                 if url.path == "/":
                     self._send(200, "text/html",
                                _PAGE.format(name=dash.name).encode())
                 elif url.path == "/metrics":
-                    n = int(parse_qs(url.query).get("n", ["200"])[0])
+                    try:
+                        n = int(parse_qs(url.query).get("n", ["200"])[0])
+                    except ValueError:
+                        self._send(400, "text/plain",
+                                   b"n must be an integer")
+                        return
+                    n = max(n, 0)  # a negative n would flip the tail slice
                     self._send(200, "application/json",
                                json.dumps(dash.read_metrics(n)).encode())
                 elif url.path == "/imgs":
