@@ -11,18 +11,46 @@ import os
 import jax
 
 from video_filler_tpu.checkpoint import save_checkpoint
+from video_filler_tpu.eval.common import live_generator
 from video_filler_tpu.eval.metrics import evaluate
 from video_filler_tpu.train.loop import train
 from video_filler_tpu.train.step import init_train_state
 
 
+def _score(opt, regime, tag, splits, results, n_batches,
+           net="(live)", loaded=None):
+    for es in splits:
+        m = evaluate(opt.replace(net=net, evalSplit=es), regime,
+                     n_batches=n_batches, loaded=loaded)
+        row = {"regime": regime, "ckpt": tag, "evalSplit": es,
+               **{k: round(float(v), 4) for k, v in m.items()}}
+        results.append(row)
+        print("ROW", json.dumps(row), flush=True)
+
+
 def run_ledger(opt, regime, splits, results, mid_tag, final_tag,
-               max_steps=3000, n_batches=4):
+               max_steps=3000, n_batches=4, save=True):
     """Train ``opt`` to ``max_steps`` and evaluate the init / mid
     (checkpointEvery'th epoch) / final checkpoints on each split,
-    appending row dicts to ``results`` and printing ROW lines."""
+    appending row dicts to ``results`` and printing ROW lines.
+
+    ``save=False`` scores the init and final states DEVICE-RESIDENT
+    (eval/common.live_generator) and writes no checkpoint at all — for
+    models whose full TrainState is too large to device_get over the axon
+    tunnel (the 4.5 GB wholeim fetch that hung the relay, CLAUDE.md).  No
+    mid row in that mode; pair it with checkpointEvery > niter so the
+    train loop saves nothing either."""
     state0 = init_train_state(jax.random.PRNGKey(opt.manualSeed), opt,
                               regime)
+    if not save:
+        _score(opt, regime, "init", splits, results, n_batches,
+               loaded=live_generator(opt, regime, state0))
+        del state0
+        state = train(opt, regime, max_steps=max_steps)
+        _score(opt, regime, final_tag, splits, results, n_batches,
+               loaded=live_generator(opt, regime, state))
+        del state
+        return
     p0 = save_checkpoint("checkpoints", f"{opt.name}_init", 0,
                          jax.device_get(state0))
     del state0
@@ -37,10 +65,4 @@ def run_ledger(opt, regime, splits, results, mid_tag, final_tag,
         if not os.path.exists(path):
             print(f"MISSING {path}", flush=True)
             continue
-        for es in splits:
-            m = evaluate(opt.replace(net=path, evalSplit=es), regime,
-                         n_batches=n_batches)
-            row = {"regime": regime, "ckpt": tag, "evalSplit": es,
-                   **{k: round(float(v), 4) for k, v in m.items()}}
-            results.append(row)
-            print("ROW", json.dumps(row), flush=True)
+        _score(opt, regime, tag, splits, results, n_batches, net=path)

@@ -34,11 +34,13 @@ from ledger_common import run_ledger  # noqa: E402
 from video_filler_tpu.config import Opt  # noqa: E402
 
 # Same widths/corpus/seed as the 3000-step ledger; niter=1667 at 6
-# steps/epoch -> 10,002 steps.  checkpointEvery > niter: NO mid save —
-# the step-3000 metrics already exist in the ledger, and each full-width
-# wholeim TrainState fetch is 4.5 GB over the axon tunnel, which HUNG the
-# client (and took the tunnel relay down) on the first attempt of this
-# soak (CLAUDE.md).  One init + one final fetch is the minimum.
+# steps/epoch -> 10,002 steps.  save=False: init and final are scored
+# DEVICE-RESIDENT (live_generator) and nothing is checkpointed — each
+# full-width wholeim TrainState fetch is 4.5 GB over the axon tunnel,
+# which HUNG the client (and took the tunnel relay down) on the first
+# attempt of this soak (CLAUDE.md).  checkpointEvery > niter keeps the
+# train loop itself save-free; no mid row (the step-3000 metrics already
+# exist in the ledger run).
 rows = []
 run_ledger(Opt(DATA_ROOT="corpus", maskName="mask.png", loadSize=180,
                batchSize=32, nef=192, ngf=192, ndf=128, nBottleneck=6400,
@@ -47,7 +49,7 @@ run_ledger(Opt(DATA_ROOT="corpus", maskName="mask.png", loadSize=180,
                niter=1667, checkpointEvery=9999, name="wi_soak"),
            "wholeim", ("train", "test"), rows,
            mid_tag="step3000", final_tag="step10002",
-           max_steps=10002)
+           max_steps=10002, save=False)
 
 with open("wholeim_soak_results.json", "w") as f:
     json.dump(rows, f, indent=1)

@@ -72,6 +72,27 @@ def test_wholeim_e2e(video_root, tmp_path, monkeypatch):
     assert int(state.step) == 4
 
 
+def test_ledger_save_free_mode(image_root, tmp_path, monkeypatch):
+    """run_ledger(save=False) scores init+final device-resident and writes
+    ZERO checkpoints — the tunnel-safe protocol for models whose TrainState
+    is too large to device_get (wholeim soak, CLAUDE.md)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts"))
+    from ledger_common import run_ledger
+
+    monkeypatch.chdir(tmp_path)
+    opt = Opt(DATA_ROOT=image_root, loadSize=140, wtl2=0.999,
+              **{**TINY, "checkpointEvery": 9999, "name": "nosave"})
+    rows = []
+    run_ledger(opt, "center", ("train",), rows, mid_tag="mid",
+               final_tag="final", max_steps=2, n_batches=1, save=False)
+    assert [r["ckpt"] for r in rows] == ["init", "final"]
+    assert all(np.isfinite(r["l2"]) for r in rows)
+    assert not glob.glob("checkpoints/nosave*")
+
+
 def test_display_grids_written(image_root, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     opt = Opt(DATA_ROOT=image_root, loadSize=140, wtl2=0.999,

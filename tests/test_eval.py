@@ -173,6 +173,33 @@ def test_load_generator_returns_device_arrays(tmp_path, rng):
         assert isinstance(leaf, jax.Array), type(leaf)
 
 
+def test_live_generator_matches_saved(tmp_path, rng):
+    """live_generator (device-resident TrainState, zero checkpoint fetch)
+    is bit-identical to the save -> load_generator round trip — the
+    guarantee that lets big-model ledgers (wholeim soak) skip the
+    multi-GB device_get that hung the axon tunnel (CLAUDE.md)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from video_filler_tpu.checkpoint import save_checkpoint
+    from video_filler_tpu.eval.common import live_generator, load_generator
+    from video_filler_tpu.train import init_train_state
+
+    opt = Opt(nef=8, ngf=8, ndf=8, nBottleneck=32, batchSize=2,
+              computeDtype="bfloat16")
+    state = init_train_state(rng, opt, "center")
+    fwd_live, p_live, bn_live = live_generator(opt, "center", state)
+    path = save_checkpoint(str(tmp_path), "live", 1, state)
+    fwd_ck, p_ck, bn_ck = load_generator(opt, "center", path)
+    x = jnp.asarray(np.random.RandomState(0)
+                    .uniform(-1, 1, (2, 128, 128, 3)).astype(np.float32))
+    # bf16 residency (load path) vs f32-resident + in-jit cast (live path)
+    # must agree bit-for-bit — the cast happens before any arithmetic.
+    np.testing.assert_array_equal(np.asarray(fwd_live(p_live, bn_live, x)),
+                                  np.asarray(fwd_ck(p_ck, bn_ck, x)))
+
+
 def test_export_stablehlo_roundtrip(tmp_path, rng):
     """jax.export deployment artifact: the serialized generator (weights
     baked in, uint8 boundary) deserializes and reproduces the live forward

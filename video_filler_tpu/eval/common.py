@@ -60,3 +60,26 @@ def load_generator(opt: Opt, regime: str, net_path: str):
         return y
 
     return forward, params, bn_state
+
+
+def live_generator(opt: Opt, regime: str, train_state):
+    """(forward, params_g, state_g) straight from a DEVICE-RESIDENT
+    TrainState — no checkpoint file, no host fetch.
+
+    evaluate()/bench_inference consume only the generator subtree, so
+    scoring a freshly-trained state never needs the full-TrainState
+    device_get that save_checkpoint implies.  Over the axon tunnel that
+    fetch is the single most dangerous operation in the repo (a 4.5 GB
+    wholeim TrainState fetch hung the client AND the relay — CLAUDE.md);
+    on co-located TPU VMs it is merely wasted minutes.  Numerics are
+    identical to saving then load_generator(): the conv apply casts
+    weights to computeDtype in-jit either way, and BN eval mode reads the
+    same running statistics (net:evaluate(), test.lua:111)."""
+    gen = build_for_regime(opt, regime)[0]
+
+    @jax.jit
+    def forward(params, bn_state, x):
+        y, _ = gen.apply(params, bn_state, x, train=False)
+        return y
+
+    return forward, train_state.params_g, train_state.state_g
