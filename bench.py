@@ -30,9 +30,50 @@ import numpy as np
 BASELINE_IMAGES_PER_SEC = 44.0
 
 
+def _probe_backend(seconds: int = 180) -> None:
+    """Fail fast if the device backend never comes up.
+
+    When the axon tunnel is down, backend init blocks FOREVER inside the
+    plugin's C init (not an error, and it holds the GIL — SIGALRM's
+    Python handler never runs; observed round 3: every client hung at
+    jax.devices() until the relay was restored).  Probe in a SUBPROCESS
+    with a hard timeout, so the hang becomes a loud exit and the driver
+    records a failure instead of timing out the whole round.  Only the
+    probe is bounded: the main process's first compile (20-120 s) and
+    first execution of a big program (2-7 min upload) are legitimately
+    slow and must not be killed."""
+    import subprocess
+    import sys
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             # Honor JAX_PLATFORMS via config.update: the env var alone
+             # does not keep the axon plugin from engaging while the
+             # tunnel is down (CLAUDE.md), which would hang a CPU probe.
+             "import os, jax\n"
+             "p = os.environ.get('JAX_PLATFORMS', '').strip().lower()\n"
+             "if p: jax.config.update('jax_platforms', p)\n"
+             "import jax.numpy as jnp\n"
+             "assert float(jnp.arange(4.0).sum()) == 6.0"],
+            timeout=seconds, check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    except subprocess.TimeoutExpired:
+        print(f"bench: device backend unreachable after {seconds}s "
+              "(axon tunnel down?) — aborting instead of hanging",
+              file=sys.stderr, flush=True)
+        sys.exit(75)
+    except subprocess.CalledProcessError as e:
+        print(f"bench: backend probe failed (rc={e.returncode})",
+              file=sys.stderr, flush=True)
+        sys.exit(75)
+
+
 def main() -> None:
     from video_filler_tpu.config import Opt
     from video_filler_tpu.train import init_train_state, make_preprocess, make_train_step
+
+    _probe_backend()
 
     opt = Opt(batchSize=512, fineSize=128, nBottleneck=4000, wtl2=0.999,
               overlapPred=4, computeDtype="bfloat16")
