@@ -193,6 +193,18 @@ def test_sp_host_batch_layout_matches_plain(rng):
                                    rtol=1e-4, atol=1e-5, err_msg=k)
 
 
+def test_sp_host_batch_rejects_mid_frame_split():
+    """n_seq dividing the FOLDED channel count is not enough: nc=3, T=4,
+    n_seq=6 divides 12 but would shard mid-frame.  The guard must check
+    frame alignment (n_seq | T), loudly."""
+    import pytest
+
+    mesh = temporal.make_seq_mesh(n_data=1, n_seq=6)
+    batch = {"raw": jnp.zeros((2, 8, 8, 12), jnp.uint8)}
+    with pytest.raises(ValueError, match="frame count"):
+        temporal.shard_sp_host_batch(mesh, batch)
+
+
 def test_sp_composes_with_grad_accum(rng):
     """Sequence parallelism and gradient accumulation are both step-level
     mechanisms — the scan over microbatches must compose with the
