@@ -30,43 +30,60 @@ import numpy as np
 BASELINE_IMAGES_PER_SEC = 44.0
 
 
-def _probe_backend(seconds: int = 180) -> None:
-    """Fail fast if the device backend never comes up.
+def _probe_backend(probe_seconds: int = 30, budget_seconds: int = 360) -> None:
+    """Fail fast if the device backend never comes up — but RETRY first.
 
     When the axon tunnel is down, backend init blocks FOREVER inside the
     plugin's C init (not an error, and it holds the GIL — SIGALRM's
     Python handler never runs; observed round 3: every client hung at
     jax.devices() until the relay was restored).  Probe in a SUBPROCESS
     with a hard timeout, so the hang becomes a loud exit and the driver
-    records a failure instead of timing out the whole round.  Only the
-    probe is bounded: the main process's first compile (20-120 s) and
-    first execution of a big program (2-7 min upload) are legitimately
-    slow and must not be killed."""
+    records a failure instead of timing out the whole round.
+
+    Round 3's single 180s probe nulled the round's perf artifact on a
+    transient outage (BENCH_r03.json rc=75) while 400s of the driver's
+    580s window went unused.  Now: short probes in a loop, spending at
+    most ``budget_seconds`` of the window, so a flapping tunnel gets
+    ~12 chances instead of 1 while still leaving >200s for warmup+timing
+    (warm-cache compile ~20s; 100 timed iters ~2s).  Only the probes are
+    bounded: the main process's first compile and first execution of a
+    big program are legitimately slow and must not be killed."""
     import subprocess
     import sys
 
-    try:
-        subprocess.run(
-            [sys.executable, "-c",
-             # Honor JAX_PLATFORMS via config.update: the env var alone
-             # does not keep the axon plugin from engaging while the
-             # tunnel is down (CLAUDE.md), which would hang a CPU probe.
-             "import os, jax\n"
-             "p = os.environ.get('JAX_PLATFORMS', '').strip().lower()\n"
-             "if p: jax.config.update('jax_platforms', p)\n"
-             "import jax.numpy as jnp\n"
-             "assert float(jnp.arange(4.0).sum()) == 6.0"],
-            timeout=seconds, check=True,
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-    except subprocess.TimeoutExpired:
-        print(f"bench: device backend unreachable after {seconds}s "
-              "(axon tunnel down?) — aborting instead of hanging",
+    deadline = time.monotonic() + budget_seconds
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            subprocess.run(
+                [sys.executable, "-c",
+                 # Honor JAX_PLATFORMS via config.update: the env var alone
+                 # does not keep the axon plugin from engaging while the
+                 # tunnel is down (CLAUDE.md), which would hang a CPU probe.
+                 "import os, jax\n"
+                 "p = os.environ.get('JAX_PLATFORMS', '').strip().lower()\n"
+                 "if p: jax.config.update('jax_platforms', p)\n"
+                 "import jax.numpy as jnp\n"
+                 "assert float(jnp.arange(4.0).sum()) == 6.0"],
+                timeout=probe_seconds, check=True,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+            return
+        except subprocess.TimeoutExpired:
+            reason = f"probe {attempt} timed out after {probe_seconds}s"
+        except subprocess.CalledProcessError as e:
+            reason = f"probe {attempt} failed (rc={e.returncode})"
+        remaining = deadline - time.monotonic()
+        if remaining < probe_seconds:
+            print(f"bench: device backend unreachable for {budget_seconds}s "
+                  f"across {attempt} probes (axon tunnel down?) — aborting "
+                  "instead of hanging",
+                  file=sys.stderr, flush=True)
+            sys.exit(75)
+        print(f"bench: {reason}; retrying ({remaining:.0f}s budget left)",
               file=sys.stderr, flush=True)
-        sys.exit(75)
-    except subprocess.CalledProcessError as e:
-        print(f"bench: backend probe failed (rc={e.returncode})",
-              file=sys.stderr, flush=True)
-        sys.exit(75)
+        # A failed-fast probe (rc!=0 in <30s) should not spin: pace retries.
+        time.sleep(min(10.0, max(0.0, remaining - probe_seconds)))
 
 
 def main() -> None:

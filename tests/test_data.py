@@ -110,6 +110,42 @@ def test_logo_sampler(tmp_path):
     assert (np.abs(diff) > 0).mean() < 0.5
 
 
+def test_paired_index_split_disjoint(tmp_path):
+    """PairedIndex split: held-out tail pairs never appear in train draws
+    and vice versa (the upgrade over dataset_logo.lua's split-blind
+    getTwoImages); split=100 reproduces the reference's behavior."""
+    masked_root, gt_root = synthetic.make_paired_folders(str(tmp_path), n=10)
+    paired = PairedIndex(masked_root, gt_root, split=80)
+    assert paired.size("train") == 8 and paired.size("test") == 2
+    rs = np.random.RandomState(0)
+    train_draws = {p for p, _ in paired.sample(rs, 200, split="train")}
+    test_draws = {p for p, _ in paired.sample(rs, 200, split="test")}
+    assert not train_draws & test_draws
+    assert len(train_draws | test_draws) == 10  # both portions covered
+    # pairing stays aligned across the split boundary
+    for pm, pg in paired.sample(rs, 50, split="test"):
+        assert os.path.basename(pm) == os.path.basename(pg)
+    # split=100: test portion is empty and draws from it fail loudly
+    full = PairedIndex(masked_root, gt_root)
+    assert full.size("test") == 0
+    with pytest.raises(ValueError, match="empty"):
+        full.sample(rs, 1, split="test")
+
+
+def test_make_sampler_logo_split(tmp_path):
+    masked_root, gt_root = synthetic.make_paired_folders(str(tmp_path), n=10)
+    opt = Opt(batchSize=2, loadSize=140, fineSize=128, split=80,
+              DATA_ROOT=masked_root, DATA_ROOT_GT=gt_root)
+    s, size = make_sampler(opt, "logo", split="test")
+    assert size == 2
+    assert s(np.random.RandomState(0))["raw_masked"].shape == (2, 128, 128, 3)
+    # held-out eval needs a reserved tail: split=100 must refuse
+    opt_full = Opt(batchSize=2, loadSize=140, DATA_ROOT=masked_root,
+                   DATA_ROOT_GT=gt_root)
+    with pytest.raises(ValueError, match="split < 100"):
+        make_sampler(opt_full, "logo", split="test")
+
+
 def test_wholeim_sampler(video_root):
     opt = Opt(batchSize=2, loadSize=360, fineSize=128,
               maskName=os.path.join(video_root, "mask.png"))
@@ -146,9 +182,42 @@ def test_dataloader_threads_and_sync(image_root):
 def test_index_cache_roundtrip(image_root, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     idx1 = FolderIndex(image_root, use_cache=True)
-    assert os.path.exists("cache")
+    # cache is co-located with the data, NOT CWD-relative (the reference's
+    # cache/ convention littered whatever directory the CLI ran from)
+    assert not os.path.exists("cache")
+    assert os.path.isdir(os.path.join(image_root, ".index_cache"))
     idx2 = FolderIndex(image_root, use_cache=True)  # from cache
     assert idx2.class_files == idx1.class_files
+    # the hidden cache dir must not register as a class or invalidate the
+    # signature: a third construction still round-trips identically
+    idx3 = FolderIndex(image_root, use_cache=True)
+    assert idx3.classes == idx1.classes
+
+
+def test_index_cache_dir_override(tmp_path):
+    root = synthetic.make_image_folder(str(tmp_path / "imgs"), n=3)
+    cache_dir = str(tmp_path / "idxcache")
+    FolderIndex(root, use_cache=True, cache_dir=cache_dir)
+    assert os.listdir(cache_dir)
+    assert not os.path.isdir(os.path.join(root, ".index_cache"))
+
+
+def test_index_cache_readonly_root(tmp_path, monkeypatch):
+    """An unwritable dataset root degrades to scan-only (no cache write) —
+    the cache is an optimization, not a requirement.  Simulated via a
+    failing makedirs (chmod can't block root, which pytest runs as here)."""
+    root = synthetic.make_image_folder(str(tmp_path / "ro_imgs"), n=3)
+    real_makedirs = os.makedirs
+
+    def deny(path, *a, **kw):
+        if ".index_cache" in str(path):
+            raise PermissionError(13, "read-only corpus", str(path))
+        return real_makedirs(path, *a, **kw)
+
+    monkeypatch.setattr(os, "makedirs", deny)
+    idx = FolderIndex(root, use_cache=True)
+    assert idx.size() == 3
+    assert not os.path.isdir(os.path.join(root, ".index_cache"))
 
 
 def test_native_loader_parity(image_root):
@@ -378,8 +447,8 @@ def test_corrupt_corpus_fails_loudly(tmp_path):
 
 def test_eval_split_wiring(image_root):
     """make_sampler split= draws from the held-out portion: sizes reflect
-    the split, an empty test split errors clearly, and the logo regime
-    rejects a test split (no split exists there, like the reference)."""
+    the split and an empty test split errors clearly (the logo regime's
+    split wiring is covered by test_make_sampler_logo_split)."""
     opt = Opt(batchSize=2, loadSize=140, DATA_ROOT=image_root, split=50)
     s_tr, n_tr = make_sampler(opt, "center", split="train")
     s_te, n_te = make_sampler(opt, "center", split="test")
@@ -391,9 +460,6 @@ def test_eval_split_wiring(image_root):
     assert n_bad == 0
     with pytest.raises(ValueError, match="split is empty"):
         s_bad(np.random.RandomState(0))
-
-    with pytest.raises(ValueError, match="not available for the logo"):
-        make_sampler(opt, "logo", split="test")
 
 
 def test_video_corpus_split_disjoint(video_root):

@@ -89,7 +89,14 @@ class Opt:
                                  # data trains).  Folder dataset: per-class
                                  # permutation split.  Video corpora: the
                                  # first split% of each video's frames train,
-                                 # the tail is held out (index.VideoCorpus)
+                                 # the tail is held out (index.VideoCorpus).
+                                 # Logo pairs: held-out tail of the sorted
+                                 # pair list (index.PairedIndex — an upgrade:
+                                 # dataset_logo.lua ignores its split lists)
+    cacheDir: str = ""           # dataset-index cache dir; "" = co-located
+                                 # with the data (<DATA_ROOT>/.index_cache/;
+                                 # donkey_folder.lua:29-32 used CWD-relative
+                                 # cache/, which littered the working dir)
 
     # --- extra options (train.lua:29-33) ---
     conditionAdv: bool = False
@@ -129,6 +136,10 @@ class Opt:
     array_w: int = 3
     out_h: int = 2               # hardcoded 2x2 output patches in reference
     out_w: int = 2
+    frameH: int = 0              # serve.py wholeim full-frame wire geometry
+    frameW: int = 0              # (e.g. 360x480, the reference corpus,
+                                 # datavid/dataset.lua:360-378); 0 = serve
+                                 # raw patch arrays
 
     # --- data locations ---
     DATA_ROOT: str = ""

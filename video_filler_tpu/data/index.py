@@ -32,9 +32,21 @@ import numpy as np
 IMG_EXTS = (".jpg", ".jpeg", ".png", ".ppm", ".bmp")
 
 
-def _cache_path(root: str, tag: str) -> str:
+def _cache_path(root: str, tag: str, cache_dir: str | None = None) -> str:
+    """Index-cache location: co-located with the data by default
+    (``<root>/cache/``), overridable via ``cache_dir`` (Opt.cacheDir).
+
+    The reference writes ``cache/<mangled DATA_ROOT>_trainCache.t7`` relative
+    to the CWD (data/donkey_folder.lua:29-32) — which scatters ``cache/``
+    dirs wherever the CLI happens to run and litters the repo from pytest
+    tmp corpora.  Keying off the dataset root keeps the cache next to the
+    thing it indexes (and tmp-corpus caches die with the tmp dir).  The dir
+    is dot-prefixed because scanning skips hidden entries — the cache must
+    not register as a class subdir or perturb the mtime signature."""
+    if cache_dir is None:
+        return os.path.join(root, ".index_cache", f"{tag}.json")
     mangled = root.strip("/").replace("/", "_")
-    return os.path.join("cache", f"{mangled}_{tag}.json")
+    return os.path.join(cache_dir, f"{mangled}_{tag}.json")
 
 
 def _tree_signature(root: str) -> list:
@@ -45,7 +57,9 @@ def _tree_signature(root: str) -> list:
     only — far cheaper than rescanning the files."""
     sig = [[".", os.path.getmtime(root)]]
     for dirpath, dirnames, _ in os.walk(root):
-        dirnames.sort()
+        # Hidden dirs (e.g. the co-located .index_cache) are not data:
+        # including them would invalidate the signature on every cache write.
+        dirnames[:] = sorted(d for d in dirnames if not d.startswith("."))
         for d in dirnames:
             p = os.path.join(dirpath, d)
             sig.append([os.path.relpath(p, root), os.path.getmtime(p)])
@@ -55,6 +69,8 @@ def _tree_signature(root: str) -> list:
 def _scan_images(d: str) -> list[str]:
     out = []
     for entry in sorted(os.scandir(d), key=lambda e: e.name):
+        if entry.name.startswith("."):
+            continue  # hidden entries (e.g. .index_cache) are not data
         if entry.is_file() and entry.name.lower().endswith(IMG_EXTS):
             out.append(entry.path)
         elif entry.is_dir():
@@ -66,11 +82,12 @@ class FolderIndex:
     """Class-folder image index with JSON caching."""
 
     def __init__(self, root: str, split: int = 100, use_cache: bool = True,
-                 shuffle_split: bool = False, seed: int = 0):
+                 shuffle_split: bool = False, seed: int = 0,
+                 cache_dir: str | None = None):
         self.root = root
         self.classes: list[str] = []
         self.class_files: dict[str, list[str]] = {}
-        cache = _cache_path(root, "index")
+        cache = _cache_path(root, "index", cache_dir)
         if use_cache and os.path.exists(cache):
             try:
                 with open(cache) as f:
@@ -83,7 +100,7 @@ class FolderIndex:
         if not self.classes:
             subdirs = [e.name for e in sorted(os.scandir(root),
                                               key=lambda e: e.name)
-                       if e.is_dir()]
+                       if e.is_dir() and not e.name.startswith(".")]
             if subdirs:
                 self.classes = subdirs
                 self.class_files = {c: _scan_images(os.path.join(root, c))
@@ -94,15 +111,22 @@ class FolderIndex:
             self.class_files = {c: f for c, f in self.class_files.items() if f}
             self.classes = [c for c in self.classes if c in self.class_files]
             if use_cache:
-                os.makedirs("cache", exist_ok=True)
-                # Atomic write: multi-host processes share the cache dir, so
-                # a reader must never see a half-written file.
-                tmp = f"{cache}.{os.getpid()}.tmp"
-                with open(tmp, "w") as f:
-                    json.dump({"signature": _tree_signature(root),
-                               "classes": self.classes,
-                               "files": self.class_files}, f)
-                os.replace(tmp, cache)
+                try:
+                    os.makedirs(os.path.dirname(cache), exist_ok=True)
+                    # Atomic write: multi-host processes share the cache dir,
+                    # so a reader must never see a half-written file.
+                    tmp = f"{cache}.{os.getpid()}.tmp"
+                    with open(tmp, "w") as f:
+                        json.dump({"signature": _tree_signature(root),
+                                   "classes": self.classes,
+                                   "files": self.class_files}, f)
+                    os.replace(tmp, cache)
+                except OSError:
+                    # Read-only dataset root (default cache location is
+                    # inside it): the cache is an optimization — scan-only
+                    # beats refusing to train.  Point cacheDir= somewhere
+                    # writable to cache anyway.
+                    pass
         if not self.classes:
             raise FileNotFoundError(f"no images under {root}")
         # train/test split per class (data/dataset.lua:263-309)
@@ -144,9 +168,17 @@ class FolderIndex:
 
 class PairedIndex:
     """Two parallel folders (masked, gt) sampled at the same index
-    (data/dataset_logo.lua:354-391: class 1 = gt, class 2 = masked)."""
+    (data/dataset_logo.lua:354-391: class 1 = gt, class 2 = masked).
 
-    def __init__(self, masked_root: str, gt_root: str):
+    ``split`` reserves a held-out contiguous TAIL of the (sorted) pair list,
+    same convention as VideoCorpus.  This diverges from the reference ON
+    PURPOSE: its ``getTwoImages`` ignores the split lists the base dataset
+    builds (dataset_logo.lua:354-365 indexes imagePath directly), so the
+    reference's logo regime can never report held-out metrics; here every
+    regime is held to the same evidence bar (split=100 reproduces the
+    reference's split-blind behavior exactly)."""
+
+    def __init__(self, masked_root: str, gt_root: str, split: int = 100):
         self.masked = _scan_images(masked_root)
         self.gt = _scan_images(gt_root)
         if len(self.masked) != len(self.gt):
@@ -155,12 +187,26 @@ class PairedIndex:
                 f"{len(self.gt)} gt (dataset_logo.lua:358 asserts equality)")
         if not self.masked:
             raise FileNotFoundError(f"no images under {masked_root}")
+        if not 0 < split <= 100:
+            raise ValueError(f"split must be in (0, 100], got {split}")
+        self.n_train = int(round(len(self.masked) * split / 100.0))
 
-    def size(self) -> int:
-        return len(self.masked)
+    def size(self, split: str = "train") -> int:
+        if split == "train":
+            return self.n_train
+        return len(self.masked) - self.n_train
 
-    def sample(self, rs: np.random.RandomState, n: int) -> list[tuple[str, str]]:
-        idx = rs.randint(len(self.masked), size=n)
+    def sample(self, rs: np.random.RandomState, n: int,
+               split: str = "train") -> list[tuple[str, str]]:
+        if split == "train":
+            lo, hi = 0, self.n_train
+        else:
+            lo, hi = self.n_train, len(self.masked)
+        if hi <= lo:
+            raise ValueError(
+                f"the {split!r} split is empty — construct PairedIndex with "
+                "split < 100 to reserve held-out pairs")
+        idx = lo + rs.randint(hi - lo, size=n)
         return [(self.masked[i], self.gt[i]) for i in idx]
 
 
@@ -194,6 +240,9 @@ class VideoCorpus:
                                                         # `start` everywhere
     split: int = 100                                    # train percentage;
                                                         # tail frames are test
+    _eligible_cache: dict = field(default_factory=dict, repr=False,
+                                  compare=False)        # (length, split) ->
+                                                        # eligible video ids
 
     def __post_init__(self):
         if not self.suffixes:
@@ -254,8 +303,15 @@ class VideoCorpus:
         """Uniform video, uniform start, variant by probability
         (datavid/dataset.lua:360-378).  `split` confines the start range to
         the train head / held-out tail of each video."""
-        videos = [v for v in range(len(self.suffixes))
-                  if self._start_range(v, length, split)[1] > 0]
+        # Counts/starts/split are immutable after __post_init__, so the
+        # eligible-video list is memoized per (length, split) — sample_clip
+        # runs per batch item per redraw, and rebuilding the list was an
+        # O(n_videos) scan each time.
+        videos = self._eligible_cache.get((length, split))
+        if videos is None:
+            videos = [v for v in range(len(self.suffixes))
+                      if self._start_range(v, length, split)[1] > 0]
+            self._eligible_cache[(length, split)] = videos
         if not videos:
             raise ValueError(
                 f"no video has a {split!r} portion of >= {length} frames "

@@ -89,13 +89,15 @@ def center_sampler(opt: Opt, index: FolderIndex,
     return sample
 
 
-def logo_sampler(opt: Opt, paired: PairedIndex) -> Callable:
+def logo_sampler(opt: Opt, paired: PairedIndex,
+                 split: str = "train") -> Callable:
     """Masked/gt pairs with the SAME crop applied to both
     (data/donkey_folder_logo.lua:72-99; flip happens on device, also shared).
 
     Decode + resize of the 2B images per batch runs on the native GIL-free
     pool when available; per-image Python fallback keeps error semantics
-    (pair size mismatch still raises) identical either way."""
+    (pair size mismatch still raises) identical either way.  `split` selects
+    the train head / held-out tail of the pair list (PairedIndex.split)."""
     fs = opt.fineSize
     use_native = _use_native(opt) and opt.loadSize > 0
     max_hw = opt.loadSize * 2
@@ -104,7 +106,7 @@ def logo_sampler(opt: Opt, paired: PairedIndex) -> Callable:
     def sample(rs: np.random.RandomState) -> Batch:
         masked = np.empty((opt.batchSize, fs, fs, opt.nc), np.uint8)
         gt = np.empty_like(masked)
-        pairs = paired.sample(rs, opt.batchSize)
+        pairs = paired.sample(rs, opt.batchSize, split=split)
         buf = hw = None
         if use_native:
             if getattr(slots, "buf", None) is None:
@@ -395,18 +397,20 @@ def make_sampler(opt: Opt, regime: str, split: str = "train"):
 
     `split`: which portion of the dataset to draw from.  The folder dataset
     splits per class (data/dataset.lua:263-309); the video corpora reserve a
-    held-out tail frame range per video (Opt.split < 100).  Only the paired
-    logo dataset has no split (matching the reference)."""
+    held-out tail frame range per video (Opt.split < 100); the paired logo
+    dataset reserves a held-out tail of the sorted pair list (an upgrade —
+    dataset_logo.lua's getTwoImages ignores its own split lists)."""
     if regime == "center":
-        index = FolderIndex(opt.DATA_ROOT, split=opt.split)
+        index = FolderIndex(opt.DATA_ROOT, split=opt.split,
+                            cache_dir=opt.cacheDir or None)
         return center_sampler(opt, index, split=split), index.size(split)
     if regime == "logo":
-        if split != "train":
+        paired = PairedIndex(opt.DATA_ROOT, opt.DATA_ROOT_GT, split=opt.split)
+        if split != "train" and opt.split >= 100:
             raise ValueError(
-                "evalSplit='test' is not available for the logo regime: the "
-                "paired dataset has no split (matching dataset_logo.lua)")
-        paired = PairedIndex(opt.DATA_ROOT, opt.DATA_ROOT_GT)
-        return logo_sampler(opt, paired), paired.size()
+                "evalSplit='test' needs split < 100 to reserve a held-out "
+                "tail of the pair list (PairedIndex.split)")
+        return logo_sampler(opt, paired, split=split), paired.size(split)
     mask = load_mask(opt.maskName) if opt.maskName else None
     corpus_kw = {}
     if opt.vidExts:

@@ -17,6 +17,7 @@ Single-process usage is unchanged — these helpers no-op gracefully.
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import jax
@@ -36,7 +37,7 @@ def initialize(coordinator_address: str | None = None,
     if coordinator_address is None and num_processes is None:
         try:
             jax.distributed.initialize()
-        except Exception as e:
+        except (ValueError, RuntimeError) as e:
             # Two errors degrade to single-process: "no cluster env
             # detected" (auto-detect leaves coordinator_address unset ->
             # ValueError naming it) and the late-call RuntimeError when a
@@ -44,10 +45,23 @@ def initialize(coordinator_address: str | None = None,
             # whose handshake fails (coordinator briefly unreachable, DNS
             # hiccup) must die loudly instead — N hosts silently training
             # independently against one checkpoint name is corruption,
-            # not a fallback.
+            # not a fallback.  Matched by type AND message (strings from
+            # jax 0.9.0 _src/distributed.py: "coordinator_address should
+            # be defined." / "jax.distributed.initialize() must be called
+            # before ..."); if an upgrade rewords them, a ValueError with
+            # no cluster marker in the environment still means "no cluster
+            # auto-detected" — only that combination stays local.
             msg = str(e)
+            cluster_env = any(
+                os.environ.get(v)
+                for v in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                          "SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE",
+                          "PMI_RANK", "PMIX_RANK",
+                          "MEGASCALE_COORDINATOR_ADDRESS",
+                          "TPU_WORKER_HOSTNAMES"))
             if ("coordinator_address" in msg
-                    or "must be called before" in msg):
+                    or "must be called before" in msg
+                    or (isinstance(e, ValueError) and not cluster_env)):
                 return  # single-process / no cluster env: stay local
             raise
     else:

@@ -261,7 +261,22 @@ class InpaintServer:
         carry = None  # request that didn't fit the previous batch: runs FIRST
         while not self._closed:
             if carry is not None:
-                items, carry = [carry], None
+                item, carry = carry, None
+                # The carry kept its row reservation while held (so the
+                # backlog bound counts it); release it now that it's leaving
+                # the pending set, and re-check its client deadline — it may
+                # have expired while the previous batch ran.
+                with self._stats_lock:
+                    self._pending_rows = max(
+                        0, self._pending_rows - item[0].shape[0])
+                if time.perf_counter() > item[4]:
+                    if not item[3].done():
+                        item[3].set_exception(
+                            TimeoutError("request expired in queue"))
+                    with self._stats_lock:
+                        self._stats["expired"] += 1
+                    continue
+                items = [item]
             else:
                 item = self._pop_live(0.2)
                 if item is None:
@@ -289,8 +304,12 @@ class InpaintServer:
                     break
                 if rows + nxt[0].shape[0] > self.batch:
                     # head of the NEXT batch (a re-enqueue to the queue tail
-                    # would reorder it behind later arrivals — starvation)
+                    # would reorder it behind later arrivals — starvation).
+                    # Re-reserve its rows: a held carry is still pending work
+                    # the backlog bound must count.
                     carry = nxt
+                    with self._stats_lock:
+                        self._pending_rows += nxt[0].shape[0]
                     break
                 items.append(nxt)
                 rows += nxt[0].shape[0]
@@ -325,6 +344,9 @@ class InpaintServer:
                 self._stats["batches"] += 1
                 self._stats["items"] += rows
         if carry is not None:  # don't strand a held-over request at shutdown
+            with self._stats_lock:
+                self._pending_rows = max(
+                    0, self._pending_rows - carry[0].shape[0])
             carry[3].set_exception(RuntimeError("server closed"))
 
     def infer(self, ctx: np.ndarray, mask: np.ndarray | None,

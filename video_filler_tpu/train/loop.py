@@ -387,6 +387,14 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
                     # its remainder — benign here, samplers draw randomly
                     # rather than sweeping a fixed per-epoch order.
                     _flush_log()
+                    if opt.keepCheckpoints > 0:
+                        # Same retention as the epoch path: repeated
+                        # preemptions must not accumulate checkpoints past
+                        # the configured keep count.
+                        from video_filler_tpu.checkpoint import \
+                            prune_checkpoints
+                        prune_checkpoints(opt.checkpointDir, opt.name,
+                                          opt.keepCheckpoints)
                     p = save_checkpoint(
                         opt.checkpointDir, opt.name, epoch, state,
                         meta={"epoch": epoch, "regime": regime,
