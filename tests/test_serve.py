@@ -454,3 +454,59 @@ def test_serve_rejects_float_mask_and_ctx(video_server):
         srv.infer(ctx[None].astype(np.float32), None)
     with pytest.raises(ValueError, match="uint8"):
         srv.infer(ctx[None], fmask[None])
+
+
+def test_serve_wholeim_full_frame_composite(tmp_path):
+    """wholeim with frameH/frameW: the wire carries whole frames + masks;
+    the server mask-fills, slices the 3x3 patch grid, runs G once, scatters
+    the 2x2 predicted patches back and composites inside the mask
+    (test_vid_wholeim.lua:159-220 pattern).  Outside the mask the frame is
+    exact; masked pixels under 2x2 coverage are generated; masked pixels
+    OUTSIDE the coverage keep the train-time fill value."""
+    fh, fw = 180, 240  # steph=(180-128)//2=26, stepw=(240-128)//2=56
+    opt = Opt(batchSize=2, frameH=fh, frameW=fw, **TINY)
+    state = init_train_state(jax.random.PRNGKey(0), opt, "wholeim")
+    path = save_checkpoint(str(tmp_path), "wi", 1, state)
+    srv = InpaintServer(opt, "wholeim", path, port=0, max_delay_ms=1.0)
+    try:
+        rs = np.random.RandomState(0)
+        frame = rs.randint(0, 256, (fh, fw, 3), np.uint8)
+        mask = np.zeros((fh, fw, 1), np.uint8)
+        mask[30:60, 40:80] = 1      # inside the 2x2 coverage (154 x 184)
+        mask[170:178, 200:230] = 1  # outside it (row 170 > 26+128)
+        out = _post(srv.port, ctx=frame, mask=mask)
+        assert out.shape == frame.shape and out.dtype == np.uint8
+
+        m = mask[..., 0].astype(bool)
+        np.testing.assert_array_equal(out[~m], frame[~m])  # exact outside
+        assert not np.array_equal(out[30:60, 40:80], frame[30:60, 40:80])
+        # masked-but-uncovered pixels: the fill value the model trained on
+        fill = int(round(opt.maskValue * 255.0))
+        assert np.abs(out[170:178, 200:230].astype(int) - fill).max() <= 1
+
+        # a mask is REQUIRED in full-frame mode (the implicit all-ones
+        # default would mask-fill the whole frame)
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(srv.port, ctx=frame)
+        assert e.value.code == 400 and b"mask" in e.value.read()
+    finally:
+        srv.close()
+
+
+def test_serve_wholeim_patch_mode_still_raw(tmp_path):
+    """Without frameH/frameW the wholeim server keeps the raw wire format:
+    27-channel patch arrays in, 12-channel G output back, masks rejected."""
+    opt = Opt(batchSize=2, **TINY)
+    state = init_train_state(jax.random.PRNGKey(0), opt, "wholeim")
+    path = save_checkpoint(str(tmp_path), "wip", 1, state)
+    srv = InpaintServer(opt, "wholeim", path, port=0, max_delay_ms=1.0)
+    try:
+        rs = np.random.RandomState(1)
+        ctx = rs.randint(0, 256, (128, 128, 27), np.uint8)
+        out = _post(srv.port, ctx=ctx)
+        assert out.shape == (128, 128, 12) and out.dtype == np.uint8
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(srv.port, ctx=ctx, mask=np.ones((128, 128, 1), np.uint8))
+        assert e.value.code == 400
+    finally:
+        srv.close()

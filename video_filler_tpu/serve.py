@@ -34,7 +34,15 @@ API (all numpy .npz bodies):
                       kept from the context) — no mask input needed.
                       video3d: ctx/out are channel-folded clips
                       (S, S, nc*predLen), same wire format as video; the
-                      temporal G runs on the unfolded (T, S, S, nc) clip}
+                      temporal G runs on the unfolded (T, S, S, nc) clip.
+                      wholeim with frameH/frameW set: ctx = WHOLE frames
+                      (frameH, frameW, nc) + required mask — the server
+                      mask-fills, slices the 3x3 patch grid, runs G once,
+                      scatters the 2x2 predicted patches back (overlaps
+                      averaged) and composites inside the mask
+                      (test_vid_wholeim.lua:159-220 pattern); without
+                      frameH/frameW wholeim serves raw 27ch->12ch patch
+                      arrays}
   GET  /stats     {"requests", "items", "batches", "expired", "rejected",
                    "avg_fill", "p50_ms", "p95_ms"}
   GET  /healthz   200 "ok"
@@ -127,6 +135,27 @@ class InpaintServer:
             self.composable = (gspec.nc_in == gspec.nc_out
                                and gspec.out_size == self.fs)
         self.center_paste = regime == "center"
+        # wholeim full-frame mode (frameH/frameW set): the wire carries whole
+        # frames + masks; the server does the 3x3 slice -> G -> 2x2 composite
+        # (the geometry donkey_wholeim.lua:152-211 applies at train time,
+        # test_vid_wholeim.lua:159-220's tiling+mask-composite pattern).
+        # Without frameH/frameW the wholeim server keeps serving raw
+        # 27-channel patch arrays -> 12-channel G output.
+        self.wholeim_frame = regime == "wholeim" and \
+            (opt.frameH > 0 or opt.frameW > 0)
+        self.in_h = self.in_w = self.fs
+        self.in_c = self.nc_in
+        if self.wholeim_frame:
+            if opt.frameH < self.fs or opt.frameW < self.fs:
+                raise SystemExit(
+                    f"frameH/frameW must both be >= fineSize {self.fs} "
+                    f"(got {opt.frameH}x{opt.frameW}) — the patch grid "
+                    "must fit the frame")
+            if opt.predLen != 1:
+                raise SystemExit(
+                    "wholeim full-frame serving needs predLen=1 "
+                    "(dataset_wholeim.lua:402 asserts length==1)")
+            self.in_h, self.in_w, self.in_c = opt.frameH, opt.frameW, opt.nc
         self.max_delay = max_delay_ms / 1000.0
         _, self._params, self._bn = load_generator(opt, regime, net_path)
         from video_filler_tpu.models import build_for_regime
@@ -134,12 +163,54 @@ class InpaintServer:
         composable, center_paste = self.composable, self.center_paste
         video3d, pred_len = self.video3d, opt.predLen
         overlap, noise_gen = opt.overlapPred, self.noise_gen
+        wholeim_frame = self.wholeim_frame
+        fs, nc = self.fs, opt.nc
+        arrh, arrw, outh, outw = (opt.array_h, opt.array_w,
+                                  opt.out_h, opt.out_w)
+        mask_value = opt.maskValue
 
         from video_filler_tpu.ops import image as image_ops
         from video_filler_tpu.ops import masks as mask_ops
         from video_filler_tpu.ops.layers3d import fold_time, unfold_time
 
+        def wholeim_frame_fn(params, bn_state, frame_u8, mask_u8):
+            """(B, frameH, frameW, nc) frame + mask -> composited inpaint:
+            mask-fill (donkey_wholeim.lua:161-164), slice the arrh x arrw
+            patch grid into channels (:195-211), one G forward, scatter the
+            out_h x out_w predicted patches back (overlaps averaged), and
+            composite into the frame ONLY inside the mask
+            (test_vid_wholeim.lua:207-220 semantics)."""
+            x = image_ops.normalize_uint8(frame_u8)
+            m = mask_u8 > 0
+            xm = mask_ops.apply_logo_mask(x, m, mask_value)
+            h, w = x.shape[1], x.shape[2]
+            steph = (h - fs) // max(arrh - 1, 1)
+            stepw = (w - fs) // max(arrw - 1, 1)
+            g_in = jnp.concatenate(
+                [xm[:, hi * steph:hi * steph + fs,
+                    wi * stepw:wi * stepw + fs, :]
+                 for hi in range(arrh) for wi in range(arrw)], axis=-1)
+            pred, _ = gen.apply(params, bn_state, g_in, train=False)
+            pred = pred.astype(jnp.float32)
+            acc = jnp.zeros_like(x, jnp.float32)
+            cnt = jnp.zeros((1, h, w, 1), jnp.float32)
+            for hi in range(outh):
+                for wi in range(outw):
+                    oi = hi * outw + wi
+                    ys, xs = hi * steph, wi * stepw
+                    acc = acc.at[:, ys:ys + fs, xs:xs + fs, :].add(
+                        pred[..., oi * nc:(oi + 1) * nc])
+                    cnt = cnt.at[:, ys:ys + fs, xs:xs + fs, :].add(1.0)
+            mean_pred = acc / jnp.maximum(cnt, 1.0)
+            # Composite only where masked AND covered by an output patch —
+            # masked pixels outside the 2x2 coverage keep the fill value,
+            # exactly what the model saw at train time for those regions.
+            out = jnp.where(m & (cnt > 0), mean_pred, xm)
+            return image_ops.denormalize_to_uint8(out)
+
         def serve_fn(params, bn_state, ctx_u8, mask_u8, noise):
+            if wholeim_frame:
+                return wholeim_frame_fn(params, bn_state, ctx_u8, mask_u8)
             x = image_ops.normalize_uint8(ctx_u8)
             if video3d:
                 y, _ = gen.apply(params, bn_state,
@@ -201,8 +272,8 @@ class InpaintServer:
         # Warm up (compile) before accepting traffic.  Host arrays: jit
         # places them per in_shardings (a committed jnp array would fight
         # the DP placement).
-        z = np.zeros((self.batch, self.fs, self.fs, self.nc_in), np.uint8)
-        zm = np.ones((self.batch, self.fs, self.fs, 1), np.uint8)
+        z = np.zeros((self.batch, self.in_h, self.in_w, self.in_c), np.uint8)
+        zm = np.ones((self.batch, self.in_h, self.in_w, 1), np.uint8)
         zn = np.zeros((self.batch, 1, 1, self.nz), np.float32)
         np.asarray(self._serve_fn(self._params, self._bn, z, zm, zn))
 
@@ -318,9 +389,10 @@ class InpaintServer:
                 # Assembly runs INSIDE the try: a malformed request (shape
                 # mismatch from a direct infer() caller) must fail ITS
                 # futures, not kill the worker thread and brick the server.
-                ctx = np.zeros((self.batch, self.fs, self.fs, self.nc_in),
+                ctx = np.zeros((self.batch, self.in_h, self.in_w, self.in_c),
                                np.uint8)
-                mask = np.ones((self.batch, self.fs, self.fs, 1), np.uint8)
+                mask = np.ones((self.batch, self.in_h, self.in_w, 1),
+                               np.uint8)
                 noise = np.zeros((self.batch, 1, 1, self.nz), np.float32)
                 at = 0
                 for c, m, nz, _, _ in items:
@@ -362,13 +434,18 @@ class InpaintServer:
         # Validate BEFORE enqueueing: HTTP callers are pre-validated, but a
         # direct infer() caller with a mis-shaped array must get ValueError
         # here, not poison the shared batch in the device worker.
-        if ctx.shape[1:] != (self.fs, self.fs, self.nc_in):
-            raise ValueError(f"ctx rows must be ({self.fs},{self.fs},"
-                             f"{self.nc_in}), got {ctx.shape[1:]}")
+        if ctx.shape[1:] != (self.in_h, self.in_w, self.in_c):
+            raise ValueError(f"ctx rows must be ({self.in_h},{self.in_w},"
+                             f"{self.in_c}), got {ctx.shape[1:]}")
         if ctx.dtype != np.uint8:
             raise ValueError(f"ctx must be uint8 [0,255], got {ctx.dtype}")
-        if mask is not None and mask.shape != (n, self.fs, self.fs, 1):
-            raise ValueError(f"mask must be ({n},{self.fs},{self.fs},1), "
+        if self.wholeim_frame and mask is None:
+            # The implicit all-ones default would mask-fill the WHOLE frame
+            # — never what a full-frame client means.  Make it explicit.
+            raise ValueError("wholeim full-frame serving requires a mask "
+                             "(which pixels to inpaint)")
+        if mask is not None and mask.shape != (n, self.in_h, self.in_w, 1):
+            raise ValueError(f"mask must be ({n},{self.in_h},{self.in_w},1), "
                              f"got {mask.shape}")
         if mask is not None and mask.dtype != np.uint8:
             # A float [0,1] mask would be unsafe-cast into the uint8 batch
@@ -468,22 +545,25 @@ class InpaintServer:
                             raise ValueError(
                                 f"noise must be (B,1,1,{server.nz}), got "
                                 f"{noise.shape}")
-                    fs, c = server.fs, server.nc_in
+                    ih, iw, c = server.in_h, server.in_w, server.in_c
                     if ctx.dtype != np.uint8 or \
-                            ctx.shape[1:] != (fs, fs, c):
+                            ctx.shape[1:] != (ih, iw, c):
                         raise ValueError(
-                            f"ctx must be uint8 (B,{fs},{fs},{c}), got "
+                            f"ctx must be uint8 (B,{ih},{iw},{c}), got "
                             f"{ctx.dtype} {ctx.shape}")
-                    if mask is not None and not server.composable:
+                    if mask is not None and not (server.composable
+                                                 or server.wholeim_frame):
                         raise ValueError(
                             "mask compositing needs matching in/out "
-                            "geometry (video/logo regimes); center models "
+                            "geometry (video/logo regimes) or wholeim "
+                            "full-frame mode (frameH/frameW); center models "
                             "inpaint their fixed center hole (no mask "
-                            "input) and wholeim serves the raw G output")
+                            "input) and patch-mode wholeim serves the raw "
+                            "G output")
                     if mask is not None and \
-                            mask.shape != (ctx.shape[0], fs, fs, 1):
+                            mask.shape != (ctx.shape[0], ih, iw, 1):
                         raise ValueError(
-                            f"mask must be (B,{fs},{fs},1), got {mask.shape}")
+                            f"mask must be (B,{ih},{iw},1), got {mask.shape}")
                 except Exception as e:
                     self._send(400, "text/plain", str(e).encode())
                     return
