@@ -2,8 +2,10 @@
 
 One implementation of the init/~800/3000-step checkpoint-and-evaluate
 loop used by run_condadv_ledger.py and run_logo_wholeim_ledgers.py
-(protocol: seed via opt.manualSeed, eval n_batches=4, ROW lines on
-stdout) so a protocol change happens in exactly one place.
+(protocol: seed via opt.manualSeed, eval n_batches=16 since round 4 —
+~1024 samples/checkpoint, with *_std dispersion columns from
+eval.metrics.evaluate; rounds 2-3 used 4 — ROW lines on stdout) so a
+protocol change happens in exactly one place.
 """
 import json
 import os
@@ -29,7 +31,7 @@ def _score(opt, regime, tag, splits, results, n_batches,
 
 
 def run_ledger(opt, regime, splits, results, mid_tag, final_tag,
-               max_steps=3000, n_batches=4, save=True):
+               max_steps=3000, n_batches=16, save=True):
     """Train ``opt`` to ``max_steps`` and evaluate the init / mid
     (checkpointEvery'th epoch) / final checkpoints on each split,
     appending row dicts to ``results`` and printing ROW lines.

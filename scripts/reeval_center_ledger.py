@@ -71,7 +71,7 @@ for key in wanted:
             continue
         for es in ("train", "test"):
             m = evaluate(opt.replace(net=path, evalSplit=es), "center",
-                         n_batches=4)
+                         n_batches=16)
             row = {"regime": "center", "ledger": key, "ckpt": tag,
                    "evalSplit": es,
                    **{k: round(float(v), 4) for k, v in m.items()}}

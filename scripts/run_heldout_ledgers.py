@@ -5,7 +5,8 @@ BASELINE.md:63-65) with split=80 so each corpus reserves a held-out tail
 (center: the last 20% of the folder images; video: the last ~13 frames of
 each 64-frame video), then evaluates init/~800/3000-step checkpoints on
 BOTH splits.  Same protocol as round 2 otherwise: synthetic corpora,
-seed 222, n_batches=4 eval.  NOTE split=80 shrinks the train set to 205
+seed 222 (eval n_batches=16 with *_std dispersion since round 4; rounds
+2-3 used 4).  NOTE split=80 shrinks the train set to 205
 images / 204 frames -> 3 steps/epoch at batch 64 (6 at batch 32), hence
 the adjusted niter/checkpointEvery to land on the same step counts.
 """

@@ -54,9 +54,13 @@ def evaluate(opt: Opt, regime: str, n_batches: int = 8,
 
     Draws from Opt.evalSplit ("test" + split<100 for held-out metrics —
     folder datasets reserve a shuffled image tail, video corpora a
-    contiguous frame tail per video; the paired logo dataset has no split,
-    faithful to data/dataset_logo.lua.  Default "train" matches the
-    reference's test scripts, which sample the training pump).
+    contiguous frame tail per video, the paired logo dataset a tail of the
+    sorted pair list.  Default "train" matches the reference's test
+    scripts, which sample the training pump).
+
+    Besides the means, returns the ACROSS-BATCH standard deviation of each
+    metric (`*_std`) so small train-vs-held-out deltas can be read against
+    the eval noise floor.
 
     `loaded` short-circuits the checkpoint load with an existing
     (forward, params, bn_state) triple — one load/upload shared with
@@ -104,6 +108,11 @@ def evaluate(opt: Opt, regime: str, n_batches: int = 8,
         "psnr_db": float(np.mean(psnrs)),
         "ssim": float(np.mean(ssims)),
         "hole_l2": float(np.mean(hole_l2s)),
+        # per-batch dispersion (population std over the n_batches scores)
+        "l2_std": float(np.std(l2s)),
+        "psnr_db_std": float(np.std(psnrs)),
+        "ssim_std": float(np.std(ssims)),
+        "hole_l2_std": float(np.std(hole_l2s)),
         "n_batches": n_batches,
         "batchSize": opt.batchSize,
     }
