@@ -259,8 +259,23 @@ def from_env(base: Opt | None = None, environ: dict[str, str] | None = None) -> 
     return opt.replace(**updates) if updates else opt
 
 
+def _pin_jax_platform() -> None:
+    """Re-assert ``JAX_PLATFORMS`` through jax.config before any backend
+    initializes.  On this machine the env var alone is NOT reliable: with
+    the axon tunnel down, ``JAX_PLATFORMS=cpu python ...`` still hangs at
+    backend init (plugin discovery blocks), while the explicit config
+    update in the same state works (CLAUDE.md).  Same value when healthy,
+    so this is a no-op there; jit'd code is unaffected either way."""
+    plats = os.environ.get("JAX_PLATFORMS", "").strip()
+    if plats and "axon" not in plats:
+        import jax
+
+        jax.config.update("jax_platforms", plats)
+
+
 def from_args(argv: list[str], base: Opt | None = None) -> Opt:
     """CLI override: ``key=value`` pairs, same names/coercion as the env shim."""
+    _pin_jax_platform()
     opt = from_env(base)
     updates = {}
     names = {f.name: f for f in dataclasses.fields(opt)}

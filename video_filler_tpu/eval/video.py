@@ -65,4 +65,10 @@ def run_test_vid(opt: Opt, out_dir: str | None = None,
 
 
 if __name__ == "__main__":
-    run_test_vid(from_args(sys.argv[1:]))
+    from video_filler_tpu.config import split_regime
+
+    _regime, _rest = split_regime(sys.argv[1:], default="video")
+    if _regime not in ("video", "video3d"):
+        raise SystemExit(f"eval.video handles regime=video|video3d, "
+                         f"got {_regime!r}")
+    run_test_vid(from_args(_rest), regime=_regime)

@@ -82,7 +82,7 @@ def run_wholeim(opt: Opt, out_dir: str | None = None,
                          variants=(("gt", 1.0 - opt.gt1Prob),
                                    ("gt1", opt.gt1Prob)))
     mask01 = decode.decode_image(opt.maskName, nc=1).astype(np.float32) / 255.0
-    frames, orig, padmask, (_inh, _inw, outh, outw) = _load_padded_frames(
+    frames, orig, padmask, (inh, inw, outh, outw) = _load_padded_frames(
         opt, corpus, rs, mask01)
     fs = opt.fineSize
     n_th, n_tw = outh // fs, outw // fs
@@ -128,10 +128,15 @@ def run_wholeim(opt: Opt, out_dir: str | None = None,
     for t in range(opt.predLen):
         save_png(f"{out_dir}/pred_{t + 1}.png", pred_frames[t])
         save_png(f"{out_dir}/inpaint_{t + 1}.png", inpaint[t])
+        # pad-cropped composite at the original frame size — the reference
+        # saves only the padded canvas (black bottom/right bands,
+        # test_vid_wholeim.lua:207-237); the crop is the same pixels minus
+        # the padding, directly comparable with orig_*
+        save_png(f"{out_dir}/inpaint_crop_{t + 1}.png", inpaint[t, :inh, :inw])
         # orig_* are the UNPADDED mask-filled inputs (no -1 pad bands)
         save_png(f"{out_dir}/orig_{t + 1}.png", orig[t])
     save_gif(f"{out_dir}_result.gif", pred_frames)
-    save_gif(f"{out_dir}_inpaint.gif", inpaint)
+    save_gif(f"{out_dir}_inpaint.gif", inpaint[:, :inh, :inw])
     save_gif(f"{out_dir}_orig.gif", orig)
     return {"pred": pred_frames, "inpaint": inpaint, "input": frames,
             "orig": orig, "padmask": padmask}
