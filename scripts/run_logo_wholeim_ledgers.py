@@ -11,7 +11,10 @@ ledgers (seed 222, eval n_batches=4, init/~800/3000-step checkpoints):
   metrics only: the paired dataset has no split, faithful to
   data/dataset_logo.lua (pipeline.make_sampler enforces this).
 
-Usage: python scripts/run_logo_wholeim_ledgers.py [wholeim|logo]
+Usage: python scripts/run_logo_wholeim_ledgers.py [wholeim|logo|logo_split]
+
+``logo_split`` (round 4) retrains logo with split=80 so BASELINE.md's logo
+row gains a held-out column (VERDICT r3 item 3).
 """
 import json
 import os
@@ -72,6 +75,21 @@ if which in ("logo", "both"):
             manualSeed=222, display=False, logEvery=400,
             niter=188, checkpointEvery=50, name="lw_lg"),
         spe=16, splits=("train",))
+
+if which == "logo_split":
+    # Round 4 (VERDICT r3 item 3): same logo recipe but split=80 — the
+    # PairedIndex reserves the sorted tail 205 of 1024 pairs as held-out
+    # (an upgrade over dataset_logo.lua:354-365's split-blind sampler) —
+    # and the ledger scores BOTH splits.  Draws are uniform-with-
+    # replacement over the 819 train pairs, so ntrain keeps the same
+    # 16-steps/epoch cadence as the round-3 train-only run.
+    run("logo",
+        Opt(DATA_ROOT="pairs/masked", DATA_ROOT_GT="pairs/gt_pairs",
+            batchSize=64, loadSize=150, fineSize=128,
+            nBottleneck=4000, wtl2=0.999, ntrain=1024, nThreads=2,
+            manualSeed=222, display=False, logEvery=400, split=80,
+            niter=188, checkpointEvery=50, name="lw_lg80"),
+        spe=16, splits=("train", "test"))
 
 with open("lw_results.json", "w") as f:
     json.dump(RESULTS, f, indent=1)
