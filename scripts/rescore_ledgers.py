@@ -99,6 +99,10 @@ for key in wanted:
                    **{k: round(float(v), 4) for k, v in m.items()}}
             rows.append(row)
             print("ROW", json.dumps(row), flush=True)
-with open(OUT, "w") as f:
-    json.dump(rows, f, indent=1)
+            # Write after every row: a multi-hour CPU re-score may be
+            # preempted by higher-priority TPU work when the tunnel
+            # returns; incremental writes make the kill lossless (the
+            # merge logic above resumes per-ledger).
+            with open(OUT, "w") as f:
+                json.dump(rows, f, indent=1)
 print("ALL-DONE", len(rows), flush=True)
