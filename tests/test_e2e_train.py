@@ -317,6 +317,48 @@ def test_sigterm_preemption_checkpoint(image_root, tmp_path, monkeypatch):
     assert int(state.step) >= 2
 
 
+def test_preemption_save_respects_retention(image_root, tmp_path,
+                                            monkeypatch):
+    """The SIGTERM preemption checkpoint applies the same keepCheckpoints
+    pruning as the epoch-boundary path: repeated preemptions must not
+    accumulate checkpoints past the configured retention (round-3 advisor
+    finding; loop.py preemption branch).  In-process: the loop installs
+    its handler on pytest's main thread, and a loader hook delivers the
+    signal deterministically after the first batch of the resumed run."""
+    import signal
+
+    from video_filler_tpu.checkpoint import save_checkpoint
+    from video_filler_tpu.train import loop as loop_mod
+    from video_filler_tpu.train.step import init_train_state
+
+    monkeypatch.chdir(tmp_path)
+    opt = Opt(DATA_ROOT=image_root, loadSize=140, wtl2=0.999, nef=8,
+              ngf=8, ndf=8, nBottleneck=32, batchSize=2, nThreads=0,
+              computeDtype="float32", ntrain=8, manualSeed=222,
+              display=False, checkpointEvery=100000, niter=100000,
+              name="ret", autoResume=True, keepCheckpoints=1)
+    # Three pre-existing checkpoints (epochs 1-3), as from earlier epoch
+    # saves or prior preemptions of a keep-everything run.
+    state0 = init_train_state(jax.random.PRNGKey(0), opt, "center")
+    for ep in (1, 2, 3):
+        save_checkpoint("checkpoints", "ret", ep, state0)
+
+    class SigtermLoader(loop_mod.DataLoader):
+        def get_batch(self):
+            b = super().get_batch()
+            os.kill(os.getpid(), signal.SIGTERM)  # preempt after this step
+            return b
+
+    monkeypatch.setattr(loop_mod, "DataLoader", SigtermLoader)
+    train(opt, "center", quiet=True)  # resumes at epoch 4, steps once, saves
+
+    names = sorted(os.path.basename(p) for p in
+                   glob.glob("checkpoints/ret_*_state.npz"))
+    # prune-before-save with keep=1: the newest prior checkpoint survives
+    # alongside the preemption save; epochs 1 and 2 are deleted.
+    assert names == ["ret_3_state.npz", "ret_4_state.npz"], names
+
+
 def test_resume_does_not_replay_data_stream(video_root, tmp_path,
                                             monkeypatch):
     """A resumed run must not re-see the run's first batches: the loader is

@@ -204,6 +204,65 @@ def test_serve_overload_and_expiry(tmp_path):
         srv.close()
 
 
+def test_serve_carry_keeps_reservation_and_rechecks_deadline(tmp_path):
+    """A request that doesn't fit the assembling batch is HELD (carry) to
+    head the next batch.  While held it must keep its row reservation (the
+    backlog bound counts it) and its client deadline must be RE-CHECKED
+    before assembly: a carry that expired while the previous batch ran on
+    the device gets a TimeoutError (504) without burning a device batch
+    (round-3 advisor finding; serve.py _run_batches carry path)."""
+    import time
+    from concurrent.futures import Future
+
+    opt = Opt(predLen=2, batchSize=4, **TINY)
+    state = init_train_state(jax.random.PRNGKey(0), opt, "video")
+    path = save_checkpoint(str(tmp_path), "carry", 1, state)
+    srv = InpaintServer(opt, "video", path, port=0, max_delay_ms=150.0)
+    orig_fn = srv._serve_fn
+    try:
+        def slow_fn(*a):  # each device batch takes ~4s: the carry's clock
+            time.sleep(4.0)
+            return orig_fn(*a)
+
+        srv._serve_fn = slow_fn
+
+        t0 = time.perf_counter()
+        fut_p, fut_a, fut_b = Future(), Future(), Future()
+        ctx4 = np.zeros((4, 128, 128, 6), np.uint8)
+        ctx3 = np.zeros((3, 128, 128, 6), np.uint8)
+        ctx2 = np.zeros((2, 128, 128, 6), np.uint8)
+        # Reserve rows the way infer() does, so accounting is end-to-end.
+        with srv._stats_lock:
+            srv._pending_rows += 9
+        # Plug: a full batch assembles immediately and pins the worker
+        # inside slow_fn, so A and B are enqueued race-free behind it.
+        srv._queue.put_nowait((ctx4, None, None, fut_p, t0 + 60.0))
+        time.sleep(0.5)
+        # A (3 rows, live long) pops first; B (2 rows) doesn't fit 3+2>4 and
+        # becomes the carry.  B is live when popped (~t0+4.2) but expires
+        # (t0+6) while A's slow batch runs (t0+4.2..8.2).
+        srv._queue.put_nowait((ctx3, None, None, fut_a, t0 + 60.0))
+        srv._queue.put_nowait((ctx2, None, None, fut_b, t0 + 6.0))
+
+        assert fut_p.result(timeout=30).shape == (4, 128, 128, 6)
+        assert fut_a.result(timeout=30).shape == (3, 128, 128, 6)
+        # The expired carry fails without a device batch: exactly the plug's
+        # and A's batches ran (7 rows), and the expiry was counted.
+        assert isinstance(fut_b.exception(timeout=15), TimeoutError)
+        s = srv.stats()
+        assert s["expired"] == 1
+        assert s["batches"] == 2 and s["items"] == 7
+        # The carry's reservation was released exactly once: accounting
+        # returns to zero (no leak, no double-release).
+        deadline = time.time() + 5
+        while srv._pending_rows and time.time() < deadline:
+            time.sleep(0.05)
+        assert srv._pending_rows == 0
+    finally:
+        srv._serve_fn = orig_fn
+        srv.close()
+
+
 def test_serve_video3d_folded_clips(tmp_path):
     """video3d serving: the wire format stays channel-folded (same client
     code as the video regime); serve unfolds around the temporal G and
