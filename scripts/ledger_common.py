@@ -20,7 +20,7 @@ from video_filler_tpu.train.step import init_train_state
 
 
 def _score(opt, regime, tag, splits, results, n_batches,
-           net="(live)", loaded=None):
+           net="(live)", loaded=None, flush=None):
     for es in splits:
         m = evaluate(opt.replace(net=net, evalSplit=es), regime,
                      n_batches=n_batches, loaded=loaded)
@@ -28,29 +28,54 @@ def _score(opt, regime, tag, splits, results, n_batches,
                **{k: round(float(v), 4) for k, v in m.items()}}
         results.append(row)
         print("ROW", json.dumps(row), flush=True)
+        if flush is not None:
+            flush()
 
 
 def run_ledger(opt, regime, splits, results, mid_tag, final_tag,
-               max_steps=3000, n_batches=16, save=True):
+               max_steps=3000, n_batches=16, save=True,
+               score_every=None, flush=None):
     """Train ``opt`` to ``max_steps`` and evaluate the init / mid
     (checkpointEvery'th epoch) / final checkpoints on each split,
     appending row dicts to ``results`` and printing ROW lines.
+
+    ``flush`` (optional, no-arg callable) runs after EVERY row append so a
+    multi-hour run killed by a tunnel flap keeps all rows scored so far
+    (the round-4 soak writes its JSON incrementally through this).
 
     ``save=False`` scores the init and final states DEVICE-RESIDENT
     (eval/common.live_generator) and writes no checkpoint at all — for
     models whose full TrainState is too large to device_get over the axon
     tunnel (the 4.5 GB wholeim fetch that hung the relay, CLAUDE.md).  No
     mid row in that mode; pair it with checkpointEvery > niter so the
-    train loop saves nothing either."""
+    train loop saves nothing either.  ``score_every=N`` adds periodic
+    in-loop rows every N epochs (train's epoch_hook, tagged ``stepK`` by
+    global step) — the eval forward is jitted ONCE and reused, so each
+    event costs only the eval batches, and a killed soak still leaves its
+    curve up to the last scoring point."""
     state0 = init_train_state(jax.random.PRNGKey(opt.manualSeed), opt,
                               regime)
     if not save:
         _score(opt, regime, "init", splits, results, n_batches,
-               loaded=live_generator(opt, regime, state0))
+               loaded=live_generator(opt, regime, state0), flush=flush)
         del state0
-        state = train(opt, regime, max_steps=max_steps)
+        hook = None
+        if score_every:
+            shared = {}
+
+            def hook(epoch, state):
+                if epoch % score_every:
+                    return
+                if "fwd" not in shared:
+                    shared["fwd"] = live_generator(opt, regime, state)[0]
+                step_now = int(jax.device_get(state.step))
+                _score(opt, regime, f"step{step_now}", splits, results,
+                       n_batches, flush=flush,
+                       loaded=(shared["fwd"], state.params_g,
+                               state.state_g))
+        state = train(opt, regime, max_steps=max_steps, epoch_hook=hook)
         _score(opt, regime, final_tag, splits, results, n_batches,
-               loaded=live_generator(opt, regime, state))
+               loaded=live_generator(opt, regime, state), flush=flush)
         del state
         return
     p0 = save_checkpoint("checkpoints", f"{opt.name}_init", 0,
@@ -67,4 +92,5 @@ def run_ledger(opt, regime, splits, results, mid_tag, final_tag,
         if not os.path.exists(path):
             print(f"MISSING {path}", flush=True)
             continue
-        _score(opt, regime, tag, splits, results, n_batches, net=path)
+        _score(opt, regime, tag, splits, results, n_batches, net=path,
+               flush=flush)

@@ -34,14 +34,26 @@ from ledger_common import run_ledger  # noqa: E402
 from video_filler_tpu.config import Opt  # noqa: E402
 
 # Same widths/corpus/seed as the 3000-step ledger; niter=1667 at 6
-# steps/epoch -> 10,002 steps.  save=False: init and final are scored
-# DEVICE-RESIDENT (live_generator) and nothing is checkpointed — each
-# full-width wholeim TrainState fetch is 4.5 GB over the axon tunnel,
+# steps/epoch -> 10,002 steps.  save=False: nothing is ever checkpointed —
+# each full-width wholeim TrainState fetch is 4.5 GB over the axon tunnel,
 # which HUNG the client (and took the tunnel relay down) on the first
-# attempt of this soak (CLAUDE.md).  checkpointEvery > niter keeps the
-# train loop itself save-free; no mid row (the step-3000 metrics already
-# exist in the ledger run).
+# attempt of this soak (CLAUDE.md).  Every scored state (init, every
+# score_every'th epoch, final) is evaluated DEVICE-RESIDENT
+# (live_generator), and ROWS ARE FLUSHED TO DISK AS THEY LAND: the second
+# attempt died with the tunnel at epoch 796/1667 having written nothing —
+# score_every=250 (1500 steps) bounds a flap's loss to the last scoring
+# point, and the partial curve already answers the soak's question
+# (does wholeim keep learning past 3k?).
+OUT = "wholeim_soak_results.json"
 rows = []
+
+
+def _flush():
+    with open(OUT + ".tmp", "w") as f:
+        json.dump(rows, f, indent=1)
+    os.replace(OUT + ".tmp", OUT)
+
+
 run_ledger(Opt(DATA_ROOT="corpus", maskName="mask.png", loadSize=180,
                batchSize=32, nef=192, ngf=192, ndf=128, nBottleneck=6400,
                wtl2=0.999, weight_nomask=0.05, ntrain=192, nThreads=2,
@@ -49,8 +61,6 @@ run_ledger(Opt(DATA_ROOT="corpus", maskName="mask.png", loadSize=180,
                niter=1667, checkpointEvery=9999, name="wi_soak"),
            "wholeim", ("train", "test"), rows,
            mid_tag="step3000", final_tag="step10002",
-           max_steps=10002, save=False)
+           max_steps=10002, save=False, score_every=250, flush=_flush)
 
-with open("wholeim_soak_results.json", "w") as f:
-    json.dump(rows, f, indent=1)
 print("ALL-DONE", len(rows), flush=True)

@@ -93,6 +93,48 @@ def test_ledger_save_free_mode(image_root, tmp_path, monkeypatch):
     assert not glob.glob("checkpoints/nosave*")
 
 
+def test_ledger_periodic_scoring_flushes(image_root, tmp_path, monkeypatch):
+    """save=False + score_every: in-loop device-resident rows land at epoch
+    boundaries and `flush` persists after EVERY row — a tunnel flap killing
+    the soak mid-run keeps the curve up to the last scoring point."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts"))
+    from ledger_common import run_ledger
+
+    monkeypatch.chdir(tmp_path)
+    opt = Opt(DATA_ROOT=image_root, loadSize=140, wtl2=0.999,
+              **{**TINY, "checkpointEvery": 9999, "niter": 2,
+                 "name": "nosave2"})
+    rows, flushed = [], []
+    run_ledger(opt, "center", ("train",), rows, mid_tag="mid",
+               final_tag="final", max_steps=6, n_batches=1, save=False,
+               score_every=1, flush=lambda: flushed.append(len(rows)))
+    # 3 steps/epoch; max_steps=6 stops inside epoch 2 before its boundary,
+    # so exactly one periodic row (epoch 1 = global step 3) lands.
+    assert [r["ckpt"] for r in rows] == ["init", "step3", "final"]
+    assert flushed == [1, 2, 3]  # flush ran after every row
+    assert all(np.isfinite(r["l2"]) for r in rows)
+    assert not glob.glob("checkpoints/nosave2*")
+
+
+def test_epoch_hook_sees_live_state(image_root, tmp_path, monkeypatch):
+    """train(epoch_hook=) fires at every completed epoch boundary with the
+    live device-resident TrainState (readable params, correct step count)."""
+    monkeypatch.chdir(tmp_path)
+    opt = Opt(DATA_ROOT=image_root, loadSize=140, wtl2=0.999,
+              **{**TINY, "niter": 2, "checkpointEvery": 9999,
+                 "name": "hooked"})
+    seen = []
+    train(opt, "center", quiet=True,
+          epoch_hook=lambda epoch, st: seen.append(
+              (epoch, int(st.step),
+               bool(np.all(np.isfinite(jax.device_get(
+                   jax.tree.leaves(st.params_g)[0])))))))
+    assert seen == [(1, 3, True), (2, 6, True)]
+
+
 def test_display_grids_written(image_root, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     opt = Opt(DATA_ROOT=image_root, loadSize=140, wtl2=0.999,

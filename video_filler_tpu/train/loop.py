@@ -79,8 +79,18 @@ def _display_dump(opt: Opt, regime: str, batch, fake, out_dir: str,
 
 
 def train(opt: Opt, regime: str, max_steps: int | None = None,
-          quiet: bool = False):
-    """Run the full training loop; returns the final TrainState."""
+          quiet: bool = False, epoch_hook=None):
+    """Run the full training loop; returns the final TrainState.
+
+    ``epoch_hook(epoch, state)`` (optional) runs at each epoch boundary —
+    after the epoch log, before the checkpoint block — with the LIVE
+    device-resident TrainState.  Read-only: the next step donates the
+    state, so the hook must not retain references past its return.  This
+    is the tunnel-safe way to score training progress mid-run (ledgers
+    evaluate the generator subtree in place, eval/common.live_generator)
+    without the full-TrainState device_get a checkpoint save implies.
+    Under multi-host the hook runs on EVERY process (it may contain
+    collectives); guard host-0-only work on jax.process_index() inside."""
     if regime not in REGIMES:
         raise SystemExit(f"unknown regime {regime!r}; expected one of "
                          f"{', '.join(REGIMES)}")
@@ -409,6 +419,8 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
             _flush_log()
             logger.log_epoch(epoch, opt.niter,
                              time.perf_counter() - t_epoch)
+            if epoch_hook is not None:
+                epoch_hook(epoch, state)
             if epoch % opt.checkpointEvery == 0:
                 # Multi-host TP: the bottleneck params/moments are sharded
                 # ACROSS processes, so every process joins a collective
