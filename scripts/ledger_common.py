@@ -19,6 +19,17 @@ from video_filler_tpu.train.loop import train
 from video_filler_tpu.train.step import init_train_state
 
 
+def json_flusher(path, rows):
+    """Atomic-write ``rows`` as JSON to ``path``; pass as
+    run_ledger(flush=...) so every scored row is persisted the moment it
+    lands — a tunnel flap killing a multi-hour ledger keeps its curve."""
+    def _flush():
+        with open(path + ".tmp", "w") as f:
+            json.dump(rows, f, indent=1)
+        os.replace(path + ".tmp", path)
+    return _flush
+
+
 def _score(opt, regime, tag, splits, results, n_batches,
            net="(live)", loaded=None, flush=None):
     for es in splits:

@@ -15,7 +15,6 @@ checkpointEvery=32 lands ~step 800 and step 3000.
 Usage: python scripts/run_center_bigcorpus.py  (cwd anywhere; builds
 /tmp/bigcorpus once, runs on the default backend — the real chip).
 """
-import json
 import os
 import sys
 
@@ -33,7 +32,7 @@ if not os.path.isdir("images"):
     synthetic.make_image_folder("images", n=2048, h=160, w=200, seed=0)
     print("corpus built: 2048 textures", flush=True)
 
-from ledger_common import run_ledger  # noqa: E402
+from ledger_common import json_flusher, run_ledger  # noqa: E402
 from video_filler_tpu.config import Opt  # noqa: E402
 
 opt = Opt(DATA_ROOT="images", batchSize=64, overlapPred=4, loadSize=150,
@@ -45,8 +44,6 @@ opt = Opt(DATA_ROOT="images", batchSize=64, overlapPred=4, loadSize=150,
 
 rows = []
 run_ledger(opt, "center", ("train", "test"), rows,
-           mid_tag="mid", final_tag="final")
-
-with open("bigcorpus_results.json", "w") as f:
-    json.dump(rows, f, indent=1)
+           mid_tag="mid", final_tag="final",
+           flush=json_flusher("bigcorpus_results.json", rows))
 print("ALL-DONE", flush=True)

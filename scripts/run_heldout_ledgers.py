@@ -10,7 +10,7 @@ seed 222 (eval n_batches=16 with *_std dispersion since round 4; rounds
 images / 204 frames -> 3 steps/epoch at batch 64 (6 at batch 32), hence
 the adjusted niter/checkpointEvery to land on the same step counts.
 """
-import sys, os, json
+import sys, os
 
 _SCRIPTS = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(_SCRIPTS))
@@ -32,16 +32,19 @@ if not os.path.isdir("corpus"):
     synthetic.make_mask_png("mask.png", h=180, w=240)
 print("corpora ready", flush=True)
 
-from ledger_common import run_ledger  # noqa: E402
+from ledger_common import json_flusher, run_ledger  # noqa: E402
 from video_filler_tpu.config import Opt  # noqa: E402
 
 RESULTS = []
+# Flush after EVERY row: a tunnel flap mid-way keeps the regimes/rows
+# already scored (the checkpoints also persist for rescore_ledgers.py).
+_flush = json_flusher("heldout_results.json", RESULTS)
 
 
 def run(regime, opt, spe):
     run_ledger(opt, regime, ("train", "test"), RESULTS,
                mid_tag=f"step{opt.checkpointEvery * spe}",
-               final_tag=f"step{opt.niter * spe}")
+               final_tag=f"step{opt.niter * spe}", flush=_flush)
 
 
 common = dict(loadSize=150, fineSize=128, nBottleneck=4000, wtl2=0.999,
@@ -62,6 +65,4 @@ run("video3d",
         weight_nomask=0.05, niter=500, checkpointEvery=133, name="h3",
         **common), spe=6)
 
-with open("heldout_results.json", "w") as f:
-    json.dump(RESULTS, f, indent=1)
 print("ALL-DONE", len(RESULTS), flush=True)

@@ -16,7 +16,6 @@ Usage: python scripts/run_logo_wholeim_ledgers.py [wholeim|logo|logo_split]
 ``logo_split`` (round 4) retrains logo with split=80 so BASELINE.md's logo
 row gains a held-out column (VERDICT r3 item 3).
 """
-import json
 import os
 import sys
 
@@ -39,19 +38,22 @@ if not os.path.isdir("pairs"):
     synthetic.make_paired_folders("pairs", n=1024, h=160, w=200)
     print("pairs built", flush=True)
 
-from ledger_common import run_ledger  # noqa: E402
+from ledger_common import json_flusher, run_ledger  # noqa: E402
 from video_filler_tpu.config import Opt  # noqa: E402
 
+which = sys.argv[1] if len(sys.argv) > 1 else "both"
+
 RESULTS = []
+# Per-MODE output file (round 4): a later `wholeim` re-run must not clobber
+# the `logo_split` rows; every row is flushed as it lands (tunnel flaps).
+OUT = f"lw_results_{which}.json" if which != "both" else "lw_results.json"
+_flush = json_flusher(OUT, RESULTS)
 
 
 def run(regime, opt, spe, splits):
     run_ledger(opt, regime, splits, RESULTS,
                mid_tag=f"step{opt.checkpointEvery * spe}",
-               final_tag="step3000")
-
-
-which = sys.argv[1] if len(sys.argv) > 1 else "both"
+               final_tag="step3000", flush=_flush)
 
 if which in ("wholeim", "both"):
     # Reference widths (train_wholeim_input.lua:40-43).  4x64 frames,
@@ -91,6 +93,4 @@ if which == "logo_split":
             niter=188, checkpointEvery=50, name="lw_lg80"),
         spe=16, splits=("train", "test"))
 
-with open("lw_results.json", "w") as f:
-    json.dump(RESULTS, f, indent=1)
 print("ALL-DONE", len(RESULTS), flush=True)

@@ -10,7 +10,6 @@ plateaus/overtrains (like video's 10k soak, BASELINE.md:65).
 
 Usage: python scripts/run_wholeim_soak.py
 """
-import json
 import os
 import sys
 
@@ -30,7 +29,7 @@ if not os.path.isdir("corpus"):
     synthetic.make_mask_png("mask.png", h=180, w=240)
     print("corpus built", flush=True)
 
-from ledger_common import run_ledger  # noqa: E402
+from ledger_common import json_flusher, run_ledger  # noqa: E402
 from video_filler_tpu.config import Opt  # noqa: E402
 
 # Same widths/corpus/seed as the 3000-step ledger; niter=1667 at 6
@@ -44,15 +43,8 @@ from video_filler_tpu.config import Opt  # noqa: E402
 # score_every=250 (1500 steps) bounds a flap's loss to the last scoring
 # point, and the partial curve already answers the soak's question
 # (does wholeim keep learning past 3k?).
-OUT = "wholeim_soak_results.json"
 rows = []
-
-
-def _flush():
-    with open(OUT + ".tmp", "w") as f:
-        json.dump(rows, f, indent=1)
-    os.replace(OUT + ".tmp", OUT)
-
+_flush = json_flusher("wholeim_soak_results.json", rows)
 
 run_ledger(Opt(DATA_ROOT="corpus", maskName="mask.png", loadSize=180,
                batchSize=32, nef=192, ngf=192, ndf=128, nBottleneck=6400,
