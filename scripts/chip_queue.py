@@ -50,25 +50,30 @@ JOBS = [
     # 1. The perf artifact two verdicts have asked for (~minutes).
     ("bench", [sys.executable, "bench.py"], 580,
      "/tmp/cq_bench.log", '"metric"'),
-    # 2. Logo held-out row (VERDICT r3 item 3; ~3k steps, batch 64).
+    # 2. Device-side ms/frame for wholeim full-frame composite serving
+    #    (VERDICT r3 item 4's BASELINE.md row; ~minutes).
+    ("serve_wholeim",
+     [sys.executable, "scripts/bench_serve_wholeim.py"], 900,
+     "/tmp/cq_serve_wholeim.log", "ms/frame="),
+    # 3. Logo held-out row (VERDICT r3 item 3; ~3k steps, batch 64).
     ("logo_split",
      [sys.executable, "scripts/run_logo_wholeim_ledgers.py", "logo_split"],
      7200, "/tmp/lw_ledgers/lw_results_logo_split.json",
      '"ckpt": "step3000"'),
-    # 3. The save-free wholeim 10k soak (VERDICT r3 item 1; the long one —
+    # 4. The save-free wholeim 10k soak (VERDICT r3 item 1; the long one —
     #    with score_every=250 a mid-run kill keeps the partial curve).
     ("wholeim_soak", [sys.executable, "scripts/run_wholeim_soak.py"],
      4 * 3600, "/tmp/lw_ledgers/wholeim_soak_results.json", '"step10002"'),
-    # 4. 16-batch dispersion ledgers for center/video/video3d (VERDICT r3
+    # 5. 16-batch dispersion ledgers for center/video/video3d (VERDICT r3
     #    item 6 — the round-3 checkpoints were wiped, so retrain).
     ("heldout16", [sys.executable, "scripts/run_heldout_ledgers.py"],
      4 * 3600, "/tmp/heldout3/heldout_results.json", '"ckpt": "step3000"'),
-    # 5. 16-batch wholeim 3k ledger (same protocol refresh).
+    # 6. 16-batch wholeim 3k ledger (same protocol refresh).
     ("wholeim16",
      [sys.executable, "scripts/run_logo_wholeim_ledgers.py", "wholeim"],
      2 * 3600, "/tmp/lw_ledgers/lw_results_wholeim.json",
      '"ckpt": "step3000"'),
-    # 6. 16-batch bigcorpus + conditionAdv center ledgers (protocol
+    # 7. 16-batch bigcorpus + conditionAdv center ledgers (protocol
     #    refresh for the remaining BASELINE.md tables; run last — their
     #    round-3 numbers stand if time runs out first).
     ("bigcorpus16", [sys.executable, "scripts/run_center_bigcorpus.py"],
