@@ -135,6 +135,40 @@ def test_epoch_hook_sees_live_state(image_root, tmp_path, monkeypatch):
     assert seen == [(1, 3, True), (2, 6, True)]
 
 
+def test_in_train_eval_records(image_root, tmp_path, monkeypatch):
+    """Opt.evalEvery: the live generator is scored mid-training every N
+    epochs (here every 2nd of 4 epochs) and eval records (keyed
+    `eval_epoch`) land in the run's JSONL with finite metrics, alongside
+    the step/epoch records."""
+    import json as _json
+
+    monkeypatch.chdir(tmp_path)
+    opt = Opt(DATA_ROOT=image_root, loadSize=140, wtl2=0.999, split=80,
+              **{**TINY, "niter": 4, "evalEvery": 2, "evalBatches": 1,
+                 "evalSplit": "test", "checkpointEvery": 9999,
+                 "name": "ev"})
+    train(opt, "center", quiet=True)
+    recs = [_json.loads(ln) for ln in open("logs/ev.jsonl")]
+    evals = [r for r in recs if "eval_epoch" in r]
+    assert [e["eval_epoch"] for e in evals] == [2, 4]
+    assert all(e["split"] == "test" for e in evals)
+    assert all(np.isfinite(e["psnr_db"]) and np.isfinite(e["hole_l2"])
+               for e in evals)
+    assert any("epoch" in r for r in recs)  # step records still present
+
+
+def test_in_train_eval_preflight_fails_loud(image_root, tmp_path,
+                                            monkeypatch):
+    """evalEvery + evalSplit=test without split<100 must abort at STARTUP
+    (empty held-out portion), not 30 minutes in at the first eval event."""
+    monkeypatch.chdir(tmp_path)
+    opt = Opt(DATA_ROOT=image_root, loadSize=140, wtl2=0.999,
+              **{**TINY, "evalEvery": 1, "evalSplit": "test",
+                 "name": "evbad"})
+    with pytest.raises(SystemExit, match="empty dataset portion"):
+        train(opt, "center", quiet=True)
+
+
 def test_display_grids_written(image_root, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     opt = Opt(DATA_ROOT=image_root, loadSize=140, wtl2=0.999,

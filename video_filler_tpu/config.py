@@ -192,6 +192,16 @@ class Opt:
                                      # video); default "train" matches the
                                      # reference's test scripts, which sample
                                      # the training pump
+    evalEvery: int = 0               # >0: every N epochs, score the LIVE
+                                     # generator on evalSplit mid-training
+                                     # (device-resident, no checkpoint
+                                     # fetch) and log an eval record to the
+                                     # JSONL/stdout/dashboard.  The
+                                     # reference has no in-train eval (its
+                                     # QC is display grids); this
+                                     # productizes the ledger protocol.
+                                     # Single-process only (fail-loud).
+    evalBatches: int = 4             # batches per in-train eval event
     checkpointEvery: int = 20        # epochs (train.lua:460; wholeim uses 2)
     checkpointDir: str = "checkpoints"
     keepCheckpoints: int = 0         # >0: after each save, delete this run's

@@ -295,6 +295,46 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
         dashboard = Dashboard(opt.name, port=opt.display_port)
         if not quiet:
             print(f"dashboard: http://localhost:{dashboard.port}/")
+    if opt.evalEvery > 0:
+        # In-train held-out evaluation (Opt.evalEvery): every N epochs the
+        # LIVE generator is scored on evalSplit through the same metrics
+        # harness the ledgers use — device-resident via a once-jitted
+        # forward, never a TrainState fetch.  The reference has no in-train
+        # eval (its QC is display grids, train.lua:427-445); this makes the
+        # ledger protocol a trainer feature.
+        if n_proc > 1:
+            raise SystemExit(
+                "evalEvery is single-process: in-train eval draws from a "
+                "host-local sampler and would desync the SPMD program — "
+                "run eval/metrics on saved checkpoints instead")
+        from video_filler_tpu.eval.common import live_generator
+        from video_filler_tpu.eval.metrics import evaluate
+        # Preflight the eval sampler NOW: evalSplit=test with split=100
+        # (or a regime/dataset mismatch) must abort at startup, not 30
+        # minutes into the run at the first eval event.  The video/logo
+        # samplers raise on the bad combination themselves; the folder
+        # dataset's test portion can merely be EMPTY — catch that by size.
+        _n_eval = make_sampler(opt, regime, split=opt.evalSplit)[1]
+        if not _n_eval:
+            raise SystemExit(
+                f"evalEvery: evalSplit={opt.evalSplit!r} selects an empty "
+                f"dataset portion (split={opt.split}) — use split < 100 "
+                "to reserve a held-out portion")
+        _eval_shared: dict = {}
+        user_hook = epoch_hook
+
+        def epoch_hook(ep, st, _user=user_hook):
+            if ep % opt.evalEvery == 0:
+                if "fwd" not in _eval_shared:
+                    _eval_shared["fwd"] = live_generator(opt, regime, st)[0]
+                m = evaluate(opt.replace(net="(live)"), regime,
+                             n_batches=opt.evalBatches,
+                             loaded=(_eval_shared["fwd"], st.params_g,
+                                     st.state_g))
+                logger.log_eval(ep, opt.evalSplit, m)
+            if _user is not None:
+                _user(ep, st)
+
     ntrain = min(ds_size, opt.ntrain)
     steps_per_epoch = max(int(ntrain // opt.batchSize), 1)
     done = 0

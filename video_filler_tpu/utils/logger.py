@@ -35,6 +35,20 @@ class MetricsLogger:
                   f"Err_G: {metrics.get('errG', -1):.4f}  "
                   f"Err_D: {metrics.get('errD', -1):.4f}")
 
+    def log_eval(self, epoch: int, split: str, metrics: dict) -> None:
+        """In-train eval record (Opt.evalEvery): keyed `eval_epoch` so step
+        records and eval records coexist in one JSONL (the dashboard and
+        any tail-reader can tell them apart by key)."""
+        rec = {"eval_epoch": epoch, "split": split,
+               **{k: round(float(v), 5) for k, v in metrics.items()}}
+        self._f.write(json.dumps(rec) + "\n")
+        if not self.quiet:
+            print(f"Eval [{epoch}] split={split} \t "
+                  f"PSNR: {metrics.get('psnr_db', -1):.2f} dB  "
+                  f"L2: {metrics.get('l2', -1):.4f}  "
+                  f"hole-L2: {metrics.get('hole_l2', -1):.4f}  "
+                  f"SSIM: {metrics.get('ssim', -1):.4f}")
+
     def log_epoch(self, epoch: int, niter: int, seconds: float) -> None:
         self._f.write(json.dumps({"epoch_end": epoch, "seconds":
                                   round(seconds, 3)}) + "\n")
