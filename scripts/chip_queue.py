@@ -52,9 +52,11 @@ JOBS = [
      "/tmp/cq_bench.log", '"metric"'),
     # 2. Device-side ms/frame for wholeim full-frame composite serving
     #    (VERDICT r3 item 4's BASELINE.md row; ~minutes).
+    # (both earlier attempts died mid-compile of the batch=32 case, so the
+    # done tag requires the saturating-batch row, not just batch=8's)
     ("serve_wholeim",
      [sys.executable, "scripts/bench_serve_wholeim.py"], 900,
-     "/tmp/cq_serve_wholeim.log", "ms/frame="),
+     "/tmp/cq_serve_wholeim.log", "batch=32 "),
     # 3. Logo held-out row (VERDICT r3 item 3; ~3k steps, batch 64).
     ("logo_split",
      [sys.executable, "scripts/run_logo_wholeim_ledgers.py", "logo_split"],
@@ -145,6 +147,11 @@ for name, argv, tmo, marker, tag in JOBS:
             print("QUEUE-STOP no chip by deadline", flush=True)
             sys.exit(0)
         attempts += 1
+        # Cap the job's runtime at the queue deadline: a job still holding
+        # the chip when the round driver's own bench.py fires would hang
+        # the tunnel and null the round's perf artifact (round 3's fate).
+        # Jobs flush partial rows as they land, so truncation is lossless.
+        eff_tmo = min(tmo, max(60.0, DEADLINE_S - (time.time() - t0)))
         js.update(status=f"running (attempt {attempts})",
                   start=time.strftime("%T"))
         _write_status()
@@ -156,7 +163,7 @@ for name, argv, tmo, marker, tag in JOBS:
                          f" ===\n")
                 lf.flush()
                 r = subprocess.run(argv, cwd=REPO, stdout=lf,
-                                   stderr=subprocess.STDOUT, timeout=tmo)
+                                   stderr=subprocess.STDOUT, timeout=eff_tmo)
             rc = r.returncode
         except subprocess.TimeoutExpired:
             rc = "timeout"
@@ -166,6 +173,13 @@ for name, argv, tmo, marker, tag in JOBS:
         _write_status()
         print(f"END {name}: {js['status']}", flush=True)
         if ok:
+            break
+        if rc == "timeout" and eff_tmo < tmo:
+            # Deadline truncation, not a tunnel death: the partial rows are
+            # the best this job can do before round end — don't burn a
+            # retry re-compiling from scratch.
+            js["status"] = "truncated-at-deadline"
+            _write_status()
             break
 print("QUEUE-DONE", flush=True)
 _write_status()
