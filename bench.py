@@ -29,6 +29,16 @@ import numpy as np
 
 BASELINE_IMAGES_PER_SEC = 44.0
 
+# Roofline self-audit constants (BASELINE.md round-2 analysis): the fused
+# batch-64 center step moves ~3.3 GB of unique HBM traffic (weights + grads
+# + f32 Adam state + activations; XLA cost-analysis reports 6.7 GB but
+# overcounts fusion operands), and a pure streaming kernel measures
+# 552 GB/s on this chip.  Emitting achieved GB/s per round makes the
+# "bandwidth-bound within ~15% of roofline" claim auditable from the
+# artifact alone (VERDICT r4 item 5) instead of resting on round-2 prose.
+STEP_UNIQUE_TRAFFIC_GB_B64 = 3.3
+MEASURED_STREAMING_GBPS = 552.0
+
 
 def _probe_backend(probe_seconds: int = 30, budget_seconds: int = 360) -> None:
     """Fail fast if the device backend never comes up — but RETRY first.
@@ -86,14 +96,11 @@ def _probe_backend(probe_seconds: int = 30, budget_seconds: int = 360) -> None:
         time.sleep(min(10.0, max(0.0, remaining - probe_seconds)))
 
 
-def main() -> None:
-    from video_filler_tpu.config import Opt
-    from video_filler_tpu.train import init_train_state, make_preprocess, make_train_step
+def _time_step(opt, iters: int = 100) -> float:
+    """Seconds/step of the fused train step at ``opt.batchSize``."""
+    from video_filler_tpu.train import (init_train_state, make_preprocess,
+                                        make_train_step)
 
-    _probe_backend()
-
-    opt = Opt(batchSize=512, fineSize=128, nBottleneck=4000, wtl2=0.999,
-              overlapPred=4, computeDtype="bfloat16")
     state = init_train_state(jax.random.PRNGKey(0), opt, "center")
     preprocess = make_preprocess(opt, "center")
     train_step = make_train_step(opt, "center")
@@ -119,22 +126,48 @@ def main() -> None:
         state, metrics = fused(state, raw, np.int32(i))
     float(metrics["errD"])
 
-    iters = 100
     t0 = time.perf_counter()
     for i in range(iters):
         state, metrics = fused(state, raw, np.int32(100 + i))
     # steps chain through the donated state, so execution is serial; this one
     # fetch flushes the entire chain.
     float(metrics["errD"])
-    dt = time.perf_counter() - t0
+    return (time.perf_counter() - t0) / iters
 
-    clips_per_sec = opt.batchSize * iters / dt
+
+def main() -> None:
+    from video_filler_tpu.config import Opt
+
+    t_start = time.monotonic()
+    _probe_backend()
+
+    opt = Opt(batchSize=512, fineSize=128, nBottleneck=4000, wtl2=0.999,
+              overlapPred=4, computeDtype="bfloat16")
+    sec_512 = _time_step(opt)
+    clips_per_sec = opt.batchSize / sec_512
+
+    # Roofline leg: the ~3.3 GB unique-traffic model is anchored at BATCH
+    # 64 (the reference's batch; BASELINE.md round-2 ablations), so the
+    # achieved-GB/s audit times that step too.  It costs a second compile
+    # + first-execution upload over the tunnel, so it runs only if the
+    # headline capture left enough of the driver's ~580s window — the
+    # batch-512 number must never be starved by the audit.
+    hbm_gbps = pct_roofline = ms64 = None
+    if time.monotonic() - t_start < 300:
+        sec_64 = _time_step(opt.replace(batchSize=64))
+        ms64 = round(sec_64 * 1e3, 3)
+        hbm_gbps = round(STEP_UNIQUE_TRAFFIC_GB_B64 / sec_64, 1)
+        pct_roofline = round(100.0 * hbm_gbps / MEASURED_STREAMING_GBPS, 1)
+
     print(json.dumps({
         "metric": "train_clips_per_sec_per_chip",
         "value": round(clips_per_sec, 2),
         "unit": "clips/s/chip (fineSize=128, batch=512 saturating, "
                 "center regime)",
         "vs_baseline": round(clips_per_sec / BASELINE_IMAGES_PER_SEC, 2),
+        "batch64_ms_per_step": ms64,
+        "hbm_gbps_achieved": hbm_gbps,
+        "pct_of_streaming_roofline": pct_roofline,
     }))
 
 

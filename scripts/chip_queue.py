@@ -1,4 +1,4 @@
-"""Tunnel-watching TPU job queue (round 4).
+"""Tunnel-watching TPU job queue (round 4; reworked round 5).
 
 The axon tunnel to the one real chip flaps for hours at a time (rounds 3-4
 both lost their on-chip artifacts to outages at capture time).  This
@@ -7,35 +7,43 @@ cheaply, run the pending jobs ONE AT A TIME (concurrent clients hang the
 tunnel, CLAUDE.md) the moment it comes back, and record per-job status so
 a restart — of the queue or the tunnel — picks up where it left off.
 
-Queue discipline:
-* one probe (tiny matmul, value-forced) before every job; while the chip
-  is unreachable, re-probe every PROBE_INTERVAL_S,
-* every job is `timeout`-bounded and its stdout/stderr tee'd to
-  /tmp/cq_<name>.log,
-* jobs whose `done_marker` file already contains their `done_tag` are
-  skipped (idempotent across queue restarts),
-* a failed job is retried once (the common failure IS the tunnel dying
-  mid-run; the retrained artifacts are cheap relative to losing the slot),
-  then skipped,
-* a hard DEADLINE_S stops the queue so it can never contend with the
-  round driver's own end-of-round bench.py run.
+Round-5 rework (VERDICT r4 item 6b + both ADVICE r4 queue findings):
+* all queue state lives under the gitignored repo-local ``.chipq/`` dir
+  (status.json, logs/, results/) so it survives a host /tmp wipe,
+* jobs come from ``scripts/chip_jobs.json`` and the file is RE-READ after
+  every job, so new jobs can be appended while the queue runs,
+* a job is done when ITS OWN stdout log contains its ``done_tag``
+  (default ``ALL-DONE`` — every ledger script prints it as its terminal
+  line), not when some shared results file gains its first row, so a
+  mid-run tunnel death can no longer masquerade as completion,
+* after every attempt the job's listed ``results`` files are snapshotted
+  into ``.chipq/results/`` (partial rows survive host recycling too).
 
 Usage: python scripts/chip_queue.py  (from /root/repo; no PYTHONPATH —
-it breaks axon plugin discovery).  Status: /tmp/chip_queue_status.json.
-Stop: touch /tmp/chip_queue.stop (checked between probes/jobs).
+it breaks axon plugin discovery).  Status: .chipq/status.json.
+Stop: touch .chipq/stop (checked between probes/jobs).
 """
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-STATUS = "/tmp/chip_queue_status.json"
-STOP = "/tmp/chip_queue.stop"
+QDIR = os.path.join(REPO, ".chipq")
+LOGS = os.path.join(QDIR, "logs")
+RESULTS = os.path.join(QDIR, "results")
+STATUS = os.path.join(QDIR, "status.json")
+STOP = os.path.join(QDIR, "stop")
+JOBS_FILE = os.path.join(REPO, "scripts", "chip_jobs.json")
 PROBE_INTERVAL_S = 180
 PROBE_TIMEOUT_S = 120
+IDLE_POLL_S = 120           # all jobs done: re-poll JOBS_FILE for new ones
 DEADLINE_S = float(os.environ.get("CQ_DEADLINE_S", 6.0 * 3600))
+
+for d in (QDIR, LOGS, RESULTS):
+    os.makedirs(d, exist_ok=True)
 
 _PROBE_SRC = (
     "import jax, jax.numpy as jnp\n"
@@ -44,48 +52,15 @@ _PROBE_SRC = (
     # real completion signal on axon (block_until_ready lies, CLAUDE.md)
 )
 
-# (name, argv, timeout_s, done_marker, done_tag) — done when done_marker
-# exists AND contains done_tag.
-JOBS = [
-    # 1. The perf artifact two verdicts have asked for (~minutes).
-    ("bench", [sys.executable, "bench.py"], 580,
-     "/tmp/cq_bench.log", '"metric"'),
-    # 2. Device-side ms/frame for wholeim full-frame composite serving
-    #    (VERDICT r3 item 4's BASELINE.md row; ~minutes).
-    # (both earlier attempts died mid-compile of the batch=32 case, so the
-    # done tag requires the saturating-batch row, not just batch=8's)
-    ("serve_wholeim",
-     [sys.executable, "scripts/bench_serve_wholeim.py"], 900,
-     "/tmp/cq_serve_wholeim.log", "batch=32 "),
-    # 3. Logo held-out row (VERDICT r3 item 3; ~3k steps, batch 64).
-    ("logo_split",
-     [sys.executable, "scripts/run_logo_wholeim_ledgers.py", "logo_split"],
-     7200, "/tmp/lw_ledgers/lw_results_logo_split.json",
-     '"ckpt": "step3000"'),
-    # 4. The save-free wholeim 10k soak (VERDICT r3 item 1; the long one —
-    #    with score_every=250 a mid-run kill keeps the partial curve).
-    ("wholeim_soak", [sys.executable, "scripts/run_wholeim_soak.py"],
-     4 * 3600, "/tmp/lw_ledgers/wholeim_soak_results.json", '"step10002"'),
-    # 5. 16-batch dispersion ledgers for center/video/video3d (VERDICT r3
-    #    item 6 — the round-3 checkpoints were wiped, so retrain).
-    ("heldout16", [sys.executable, "scripts/run_heldout_ledgers.py"],
-     4 * 3600, "/tmp/heldout3/heldout_results.json", '"ckpt": "step3000"'),
-    # 6. 16-batch wholeim 3k ledger (same protocol refresh).
-    ("wholeim16",
-     [sys.executable, "scripts/run_logo_wholeim_ledgers.py", "wholeim"],
-     2 * 3600, "/tmp/lw_ledgers/lw_results_wholeim.json",
-     '"ckpt": "step3000"'),
-    # 7. 16-batch bigcorpus + conditionAdv center ledgers (protocol
-    #    refresh for the remaining BASELINE.md tables; run last — their
-    #    round-3 numbers stand if time runs out first).
-    ("bigcorpus16", [sys.executable, "scripts/run_center_bigcorpus.py"],
-     3 * 3600, "/tmp/bigcorpus/bigcorpus_results.json", '"ckpt": "final"'),
-    ("condadv16", [sys.executable, "scripts/run_condadv_ledger.py"],
-     3 * 3600, "/tmp/bigcorpus/condadv_results.json", '"ckpt": "final"'),
-]
-
 t0 = time.time()
 state = {"started": time.strftime("%F %T"), "jobs": {}}
+
+
+def _load_jobs():
+    """Job dicts: name, argv, timeout_s; optional done_tag (default
+    ALL-DONE), results (files to snapshot into .chipq/results/)."""
+    with open(JOBS_FILE) as f:
+        return json.load(f)
 
 
 def _write_status():
@@ -99,12 +74,28 @@ def _stop_requested():
     return os.path.exists(STOP)
 
 
-def _done(marker, tag):
+def _log_path(name):
+    return os.path.join(LOGS, f"cq_{name}.log")
+
+
+def _done(job):
+    """Done iff the job's own stdout log contains its terminal tag —
+    printed only on full completion, so partial runs never count."""
     try:
-        with open(marker) as f:
-            return tag in f.read()
+        with open(_log_path(job["name"])) as f:
+            return job.get("done_tag", "ALL-DONE") in f.read()
     except OSError:
         return False
+
+
+def _snapshot_results(job):
+    for src in job.get("results", ()):
+        try:
+            if os.path.exists(src):
+                shutil.copy2(src, os.path.join(RESULTS,
+                                               os.path.basename(src)))
+        except OSError as e:
+            print(f"snapshot {src}: {e}", flush=True)
 
 
 def _probe():
@@ -128,58 +119,88 @@ def _wait_for_chip():
         time.sleep(PROBE_INTERVAL_S)
 
 
-for name, argv, tmo, marker, tag in JOBS:
-    js = state["jobs"].setdefault(name, {})
-    if _done(marker, tag):
-        js["status"] = "already-done"
+def _run_once(job):
+    """One attempt; returns 'done' | 'failed' | 'truncated' | 'stop'."""
+    name, argv, tmo = job["name"], job["argv"], job["timeout_s"]
+    js = state["jobs"].setdefault(name, {"attempts": 0})
+    if time.time() - t0 > DEADLINE_S or _stop_requested():
+        js["status"] = "stopped" if _stop_requested() else "deadline"
         _write_status()
+        return "stop"
+    if not _wait_for_chip():
+        js["status"] = "no-chip-by-deadline"
+        _write_status()
+        return "stop"
+    js["attempts"] += 1
+    # Cap the job's runtime at the queue deadline: a job still holding
+    # the chip when the round driver's own bench.py fires would hang
+    # the tunnel and null the round's perf artifact (round 3's fate).
+    # Jobs flush partial rows as they land, so truncation is lossless.
+    eff_tmo = min(tmo, max(60.0, DEADLINE_S - (time.time() - t0)))
+    js.update(status=f"running (attempt {js['attempts']})",
+              start=time.strftime("%T"))
+    _write_status()
+    log = _log_path(name)
+    print(f"RUN {name} attempt {js['attempts']} -> {log}", flush=True)
+    try:
+        with open(log, "a") as lf:
+            lf.write(f"\n=== attempt {js['attempts']} "
+                     f"{time.strftime('%F %T')} ===\n")
+            lf.flush()
+            r = subprocess.run(argv, cwd=REPO, stdout=lf,
+                               stderr=subprocess.STDOUT, timeout=eff_tmo)
+        rc = r.returncode
+    except subprocess.TimeoutExpired:
+        rc = "timeout"
+    _snapshot_results(job)
+    ok = rc == 0 and _done(job)
+    js.update(status="done" if ok else f"failed rc={rc}",
+              end=time.strftime("%T"))
+    _write_status()
+    print(f"END {name}: {js['status']}", flush=True)
+    if ok:
+        return "done"
+    if rc == "timeout" and eff_tmo < tmo:
+        # Deadline truncation, not a tunnel death: the partial rows are
+        # the best this job can do before round end — don't burn a
+        # retry re-compiling from scratch.
+        js["status"] = "truncated-at-deadline"
+        _write_status()
+        return "truncated"
+    return "failed"
+
+
+while True:
+    if _stop_requested() or time.time() - t0 > DEADLINE_S:
+        print("QUEUE-STOP",
+              "stopped" if _stop_requested() else "deadline", flush=True)
+        break
+    try:
+        jobs = _load_jobs()
+    except (OSError, ValueError) as e:     # mid-edit of the jobs file
+        print(f"jobs file unreadable ({e}); retrying", flush=True)
+        time.sleep(10)
         continue
-    attempts = 0
-    while attempts < 2:
-        if time.time() - t0 > DEADLINE_S or _stop_requested():
-            js["status"] = "deadline" if not _stop_requested() else "stopped"
-            _write_status()
-            print("QUEUE-STOP", name, js["status"], flush=True)
-            sys.exit(0)
-        if not _wait_for_chip():
-            js["status"] = "no-chip-by-deadline"
-            _write_status()
-            print("QUEUE-STOP no chip by deadline", flush=True)
-            sys.exit(0)
-        attempts += 1
-        # Cap the job's runtime at the queue deadline: a job still holding
-        # the chip when the round driver's own bench.py fires would hang
-        # the tunnel and null the round's perf artifact (round 3's fate).
-        # Jobs flush partial rows as they land, so truncation is lossless.
-        eff_tmo = min(tmo, max(60.0, DEADLINE_S - (time.time() - t0)))
-        js.update(status=f"running (attempt {attempts})",
-                  start=time.strftime("%T"))
+    pending = None
+    for job in jobs:
+        js = state["jobs"].setdefault(job["name"], {"attempts": 0})
+        if _done(job):
+            if js.get("status") != "done":
+                js["status"] = "already-done"
+            continue
+        if js["attempts"] >= 2 or js.get("status") == "truncated-at-deadline":
+            js.setdefault("status", "gave-up")
+            continue
+        pending = job
+        break
+    _write_status()
+    if pending is None:
+        # Everything known is done/given-up: idle-poll for appended jobs.
+        state["last_probe"] = f"idle {time.strftime('%T')}"
         _write_status()
-        log = f"/tmp/cq_{name}.log"
-        print(f"RUN {name} attempt {attempts} -> {log}", flush=True)
-        try:
-            with open(log, "a") as lf:
-                lf.write(f"\n=== attempt {attempts} {time.strftime('%F %T')}"
-                         f" ===\n")
-                lf.flush()
-                r = subprocess.run(argv, cwd=REPO, stdout=lf,
-                                   stderr=subprocess.STDOUT, timeout=eff_tmo)
-            rc = r.returncode
-        except subprocess.TimeoutExpired:
-            rc = "timeout"
-        ok = rc == 0 and _done(marker, tag)
-        js.update(status="done" if ok else f"failed rc={rc}",
-                  end=time.strftime("%T"))
-        _write_status()
-        print(f"END {name}: {js['status']}", flush=True)
-        if ok:
-            break
-        if rc == "timeout" and eff_tmo < tmo:
-            # Deadline truncation, not a tunnel death: the partial rows are
-            # the best this job can do before round end — don't burn a
-            # retry re-compiling from scratch.
-            js["status"] = "truncated-at-deadline"
-            _write_status()
-            break
+        time.sleep(IDLE_POLL_S)
+        continue
+    if _run_once(pending) == "stop":
+        break
 print("QUEUE-DONE", flush=True)
 _write_status()

@@ -67,26 +67,27 @@ def run_ledger(opt, regime, splits, results, mid_tag, final_tag,
     state0 = init_train_state(jax.random.PRNGKey(opt.manualSeed), opt,
                               regime)
     if not save:
+        # ONE jitted eval forward shared by the init / periodic-hook /
+        # final scores: each live_generator call makes a fresh @jax.jit
+        # closure, and a fresh closure is a fresh 20-120s tunnel compile
+        # (ADVICE r4) — the forward depends only on (opt, regime), never
+        # on the state being scored.
+        fwd = live_generator(opt, regime, state0)[0]
         _score(opt, regime, "init", splits, results, n_batches,
-               loaded=live_generator(opt, regime, state0), flush=flush)
+               loaded=(fwd, state0.params_g, state0.state_g), flush=flush)
         del state0
         hook = None
         if score_every:
-            shared = {}
-
             def hook(epoch, state):
                 if epoch % score_every:
                     return
-                if "fwd" not in shared:
-                    shared["fwd"] = live_generator(opt, regime, state)[0]
                 step_now = int(jax.device_get(state.step))
                 _score(opt, regime, f"step{step_now}", splits, results,
                        n_batches, flush=flush,
-                       loaded=(shared["fwd"], state.params_g,
-                               state.state_g))
+                       loaded=(fwd, state.params_g, state.state_g))
         state = train(opt, regime, max_steps=max_steps, epoch_hook=hook)
         _score(opt, regime, final_tag, splits, results, n_batches,
-               loaded=live_generator(opt, regime, state), flush=flush)
+               loaded=(fwd, state.params_g, state.state_g), flush=flush)
         del state
         return
     p0 = save_checkpoint("checkpoints", f"{opt.name}_init", 0,
