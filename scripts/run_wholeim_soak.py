@@ -1,4 +1,4 @@
-"""wholeim 10k-step soak (round 3).
+"""wholeim 10k-step soak (round 3; device-resident data since round 5).
 
 The 3000-step wholeim ledger (scripts/run_logo_wholeim_ledgers.py) shows
 the slowest learning of any regime — hole-L2 falls 33% where the others
@@ -7,6 +7,18 @@ reference's 500-FULL-epoch budget (train_wholeim_input.lua:46).  This soak
 extends the same run protocol to 10,000 steps to establish whether the
 curve keeps falling (under-trained at 3k, like the reference expects) or
 plateaus/overtrains (like video's 10k soak, BASELINE.md:65).
+
+Round-5 protocol change — ``dataDevice=1``: both round-4 attempts were
+oom-killed at ~4,800 steps by the axon transport's host-memory leak
+(~27 MB retained per step ≈ the host batch size; CLAUDE.md).  The leak's
+cause is the per-step host→device batch upload itself, so the round-5
+soak removes it: the 204-frame corpus lives in HBM and every batch is
+synthesized inside the fused step (data/device_data.py) — per-step host
+traffic is one int32 seed, so a single process reaches step 10,002.  The
+sample DISTRIBUTION is identical to the host pipeline (parity-tested,
+tests/test_device_data.py); the RNG stream differs, so curves are a
+fresh draw of the same protocol, directly comparable to (not bitwise
+continuous with) the round-4 partial curve.
 
 Usage: python scripts/run_wholeim_soak.py
 """
@@ -38,11 +50,9 @@ from video_filler_tpu.config import Opt  # noqa: E402
 # which HUNG the client (and took the tunnel relay down) on the first
 # attempt of this soak (CLAUDE.md).  Every scored state (init, every
 # score_every'th epoch, final) is evaluated DEVICE-RESIDENT
-# (live_generator), and ROWS ARE FLUSHED TO DISK AS THEY LAND: the second
-# attempt died with the tunnel at epoch 796/1667 having written nothing —
-# score_every=250 (1500 steps) bounds a flap's loss to the last scoring
-# point, and the partial curve already answers the soak's question
-# (does wholeim keep learning past 3k?).
+# (live_generator), and ROWS ARE FLUSHED TO DISK AS THEY LAND —
+# score_every=250 (1500 steps) bounds a tunnel flap's loss to the last
+# scoring point.
 rows = []
 _flush = json_flusher("wholeim_soak_results.json", rows)
 
@@ -50,7 +60,8 @@ run_ledger(Opt(DATA_ROOT="corpus", maskName="mask.png", loadSize=180,
                batchSize=32, nef=192, ngf=192, ndf=128, nBottleneck=6400,
                wtl2=0.999, weight_nomask=0.05, ntrain=192, nThreads=2,
                manualSeed=222, display=False, logEvery=1000, split=80,
-               niter=1667, checkpointEvery=9999, name="wi_soak"),
+               niter=1667, checkpointEvery=9999, name="wi_soak",
+               dataDevice=True),
            "wholeim", ("train", "test"), rows,
            mid_tag="step3000", final_tag="step10002",
            max_steps=10002, save=False, score_every=250, flush=_flush)

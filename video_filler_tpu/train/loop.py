@@ -100,6 +100,48 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
     n_proc, proc = jax.process_count(), jax.process_index()
     is_main = proc == 0
     quiet = quiet or not is_main
+    if opt.evalEvery > 0:
+        # Validate the in-train-eval config BEFORE any resource (loader
+        # threads, logger, dashboard) exists: these SystemExits used to
+        # fire after construction, skipping the close()s the try/finally
+        # below owns (ADVICE r4).
+        if n_proc > 1:
+            raise SystemExit(
+                "evalEvery is single-process: in-train eval draws from a "
+                "host-local sampler and would desync the SPMD program — "
+                "run eval/metrics on saved checkpoints instead")
+        # Preflight the eval sampler NOW: evalSplit=test with split=100
+        # (or a regime/dataset mismatch) must abort at startup, not 30
+        # minutes into the run at the first eval event.  The video/logo
+        # samplers raise on the bad combination themselves; the folder
+        # dataset's test portion can merely be EMPTY — catch that by size.
+        if not make_sampler(opt, regime, split=opt.evalSplit)[1]:
+            raise SystemExit(
+                f"evalEvery: evalSplit={opt.evalSplit!r} selects an empty "
+                f"dataset portion (split={opt.split}) — use split < 100 "
+                "to reserve a held-out portion")
+    if opt.dataDevice:
+        # HBM-resident corpus (data/device_data.py): batches are
+        # synthesized inside the fused step, so everything that consumes
+        # the HOST batch stream is incompatible by construction.
+        from video_filler_tpu.data import device_data
+        if regime not in device_data.SUPPORTED:
+            raise SystemExit(
+                f"dataDevice=1 supports regimes {device_data.SUPPORTED}; "
+                f"use the host pipeline for {regime!r}")
+        if n_proc > 1:
+            raise SystemExit(
+                "dataDevice is single-process: the device cache is not "
+                "sharded across hosts (each host would need its corpus "
+                "slice) — use the host pipeline under multi-host")
+        if opt.seqParallel > 1:
+            raise SystemExit("dataDevice does not support seqParallel")
+        if opt.display:
+            raise SystemExit(
+                "dataDevice=1 is incompatible with display=1 (the preview "
+                "grid pulls an extra HOST batch) — set display=0")
+        if opt.withInit:
+            raise SystemExit("dataDevice does not support withInit")
     seed = opt.manualSeed or int(np.random.randint(1, 10000))
     if n_proc > 1 and not opt.manualSeed:
         # Model init / in-jit RNG must agree across hosts.
@@ -217,9 +259,26 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
     # model/optimizer/step-seed state, fresh-but-disjoint for the data
     # order.)  Hosts still draw disjoint streams via the proc offset.
     step0 = int(jax.device_get(state.step))
-    loader = DataLoader(sampler, opt.nThreads,
-                        seed=seed + 7919 * proc + 104729 * step0,
-                        prefetch_depth=opt.prefetchDepth)
+    dev_sample = None
+    if opt.dataDevice:
+        from video_filler_tpu.data import device_data
+        arrays, dd_meta = device_data.load_corpus(opt, regime)
+        dev_sample = device_data.make_device_sampler(opt, regime, dd_meta)
+        # Commit the corpus to device ONCE, replicated over the mesh (jit
+        # re-transfers numpy args per call — the whole point is that the
+        # per-step upload disappears).
+        repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        corpus_dev = tuple(jax.device_put(a, repl) for a in arrays)
+        if not quiet:
+            mb = sum(a.nbytes for a in arrays) / 1e6
+            print(f"dataDevice: {arrays[0].shape[1]} frames x "
+                  f"{arrays[0].shape[0]} variants resident on device "
+                  f"({mb:.0f} MB); per-step host transfer: one int32 seed")
+        loader = device_data.NullLoader()
+    else:
+        loader = DataLoader(sampler, opt.nThreads,
+                            seed=seed + 7919 * proc + 104729 * step0,
+                            prefetch_depth=opt.prefetchDepth)
 
     init_net = None
     with_init = bool(opt.withInit and opt.initName)
@@ -243,7 +302,16 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
     # The per-step RNG key is derived INSIDE the jit from a host integer —
     # eager jax.random.split per step would be a device round-trip each
     # iteration (expensive over a remote-TPU link, needless everywhere).
-    if with_init:
+    if dev_sample is not None:
+        def _fused(state, dev, step_seed):
+            # Third stream for the device sampler: the batch itself is a
+            # function of (seed, global step) — nothing arrives from the
+            # host but the int32 seed.
+            kd, k1, k2 = jax.random.split(jax.random.PRNGKey(step_seed), 3)
+            batch = dev_sample(dev[0], dev[1], kd)
+            return step_fn(state, preprocess(batch, k1), k2)
+        fused = jax.jit(_fused, donate_argnums=0)
+    elif with_init:
         def _fused(state, host_batch, step_seed, init_net):
             k1, k2 = jax.random.split(jax.random.PRNGKey(step_seed))
             return step_fn(state, preprocess(host_batch, k1), k2, init_net)
@@ -301,25 +369,11 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
         # harness the ledgers use — device-resident via a once-jitted
         # forward, never a TrainState fetch.  The reference has no in-train
         # eval (its QC is display grids, train.lua:427-445); this makes the
-        # ledger protocol a trainer feature.
-        if n_proc > 1:
-            raise SystemExit(
-                "evalEvery is single-process: in-train eval draws from a "
-                "host-local sampler and would desync the SPMD program — "
-                "run eval/metrics on saved checkpoints instead")
+        # ledger protocol a trainer feature.  (Config validation — the
+        # n_proc guard and the empty-evalSplit preflight — ran at the top
+        # of train(), before any resources were constructed.)
         from video_filler_tpu.eval.common import live_generator
         from video_filler_tpu.eval.metrics import evaluate
-        # Preflight the eval sampler NOW: evalSplit=test with split=100
-        # (or a regime/dataset mismatch) must abort at startup, not 30
-        # minutes into the run at the first eval event.  The video/logo
-        # samplers raise on the bad combination themselves; the folder
-        # dataset's test portion can merely be EMPTY — catch that by size.
-        _n_eval = make_sampler(opt, regime, split=opt.evalSplit)[1]
-        if not _n_eval:
-            raise SystemExit(
-                f"evalEvery: evalSplit={opt.evalSplit!r} selects an empty "
-                f"dataset portion (split={opt.split}) — use split < 100 "
-                "to reserve a held-out portion")
         _eval_shared: dict = {}
         user_hook = epoch_hook
 
@@ -346,7 +400,10 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
     # Host batch -> device arrays: single process uses a plain device_put
     # with the data sharding (SP: frames land on their own seq devices);
     # multi-host assembles per-process rows into one global array.
-    if sp_mesh is not None and n_proc == 1:
+    if dev_sample is not None:
+        def to_device(hb):
+            return corpus_dev       # already resident; hb is None
+    elif sp_mesh is not None and n_proc == 1:
         from video_filler_tpu.parallel import temporal
 
         def to_device(hb):
