@@ -569,3 +569,94 @@ def test_serve_wholeim_patch_mode_still_raw(tmp_path):
         assert e.value.code == 400
     finally:
         srv.close()
+
+
+def test_serve_video_full_frame_tiled(tmp_path):
+    """video with frameH/frameW: the reference's FLAGSHIP inference
+    (test_vid_wholeim.lua:159-220) served — mask-fill, pad to fineSize
+    multiples with -1, vflip-top-tiles trick, one batched G forward,
+    mask-only composite.  Pinned against the OFFLINE tiling path
+    (eval/tiling gather/scatter around the same generator) on the same
+    frame, and exact outside the mask."""
+    fh, fw = 180, 240   # pads to 256x256 -> 2x2 tiles, both top tiles
+    opt = Opt(predLen=2, batchSize=2, frameH=fh, frameW=fw, **TINY)
+    state = init_train_state(jax.random.PRNGKey(0), opt, "video")
+    path = save_checkpoint(str(tmp_path), "vf", 1, state)
+    srv = InpaintServer(opt, "video", path, port=0, max_delay_ms=1.0)
+    try:
+        rs = np.random.RandomState(0)
+        frame = rs.randint(0, 256, (fh, fw, 6), np.uint8)
+        mask = np.zeros((fh, fw, 1), np.uint8)
+        mask[20:70, 30:90] = 1
+        out = _post(srv.port, ctx=frame, mask=mask)
+        assert out.shape == frame.shape and out.dtype == np.uint8
+        m3 = np.broadcast_to(mask.astype(bool), frame.shape)
+        np.testing.assert_array_equal(out[~m3], frame[~m3])
+        assert not np.array_equal(out[m3], frame[m3])
+
+        # a mask is REQUIRED in full-frame mode
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(srv.port, ctx=frame)
+        assert e.value.code == 400 and b"mask" in e.value.read()
+
+        # offline replica through eval/tiling + the same checkpoint
+        import jax.numpy as jnp
+        from video_filler_tpu.eval.common import load_generator
+        from video_filler_tpu.eval.tiling import gather_tiles, scatter_tiles
+        from video_filler_tpu.ops import image as image_ops
+        from video_filler_tpu.ops import masks as mask_ops
+        fwd, p, bn = load_generator(opt, "video", path)
+        x = image_ops.normalize_uint8(jnp.asarray(frame))
+        xm = np.asarray(mask_ops.apply_logo_mask(
+            x, jnp.asarray(mask) > 0, opt.maskValue))
+        xp = np.full((256, 256, 6), -1.0, np.float32)
+        xp[:fh, :fw] = xm
+        mp = np.zeros((256, 256, 1), np.uint8)
+        mp[:fh, :fw] = mask
+        tiles = np.stack(gather_tiles(xp, 128))
+        pred = np.asarray(fwd(p, bn, jnp.asarray(tiles)), np.float32)
+        pf = scatter_tiles(pred, 128, 256, 256)
+        exp = np.where(mp > 0, pf, xp)
+        exp_u8 = np.asarray(image_ops.denormalize_to_uint8(
+            jnp.asarray(exp[:fh, :fw])))
+        # same math, differently-fused XLA programs: allow 1 uint8 step
+        assert np.abs(out.astype(int) - exp_u8.astype(int)).max() <= 1
+    finally:
+        srv.close()
+
+
+def test_serve_video_full_frame_with_init_cascade(tmp_path):
+    """withInit=1 initName=...: the netI initializer runs ahead of G on
+    every tile and its output is composited into the masked pixels
+    (test_vid_wholeim.lua:178-190) — the served result must differ from
+    the no-cascade serve inside the mask and stay exact outside."""
+    fh, fw = 180, 240
+    opt = Opt(predLen=2, batchSize=2, frameH=fh, frameW=fw, **TINY)
+    g_state = init_train_state(jax.random.PRNGKey(0), opt, "video")
+    i_state = init_train_state(jax.random.PRNGKey(9), opt, "video")
+    # A freshly-initialized tiny G attenuates every input to tanh(~0) =
+    # uint8 128, which would make the cascade's effect invisible at the
+    # wire — scale the weights so outputs depend measurably on inputs.
+    scale = lambda s: s._replace(  # noqa: E731
+        params_g=jax.tree.map(lambda a: a * 8.0, s.params_g))
+    g_path = save_checkpoint(str(tmp_path), "g", 1, scale(g_state))
+    i_path = save_checkpoint(str(tmp_path), "i", 1, scale(i_state))
+    rs = np.random.RandomState(3)
+    frame = rs.randint(0, 256, (fh, fw, 6), np.uint8)
+    mask = np.zeros((fh, fw, 1), np.uint8)
+    mask[20:70, 30:90] = 1
+
+    srv = InpaintServer(opt, "video", g_path, port=0, max_delay_ms=1.0)
+    try:
+        base = _post(srv.port, ctx=frame, mask=mask)
+    finally:
+        srv.close()
+    srv2 = InpaintServer(opt.replace(withInit=True, initName=i_path),
+                         "video", g_path, port=0, max_delay_ms=1.0)
+    try:
+        casc = _post(srv2.port, ctx=frame, mask=mask)
+    finally:
+        srv2.close()
+    m3 = np.broadcast_to(mask.astype(bool), frame.shape)
+    np.testing.assert_array_equal(casc[~m3], frame[~m3])
+    assert not np.array_equal(casc[m3], base[m3])

@@ -42,7 +42,16 @@ API (all numpy .npz bodies):
                       averaged) and composites inside the mask
                       (test_vid_wholeim.lua:159-220 pattern); without
                       frameH/frameW wholeim serves raw 27ch->12ch patch
-                      arrays}
+                      arrays.
+                      video with frameH/frameW set (the reference's
+                      FLAGSHIP inference, test_vid_wholeim.lua:159-220):
+                      ctx = predLen channel-folded WHOLE frames
+                      (frameH, frameW, nc*predLen) + required mask — the
+                      server mask-fills, pads to fineSize multiples, tiles
+                      with the vflip-top-tiles trick, optionally cascades
+                      the netI initializer (withInit=1 initName=...), runs
+                      ONE batched G forward over every tile, scatters back
+                      and composites inside the mask only}
   GET  /stats     {"requests", "items", "batches", "expired", "rejected",
                    "avg_fill", "p50_ms", "p95_ms"}
   GET  /healthz   200 "ok"
@@ -143,19 +152,37 @@ class InpaintServer:
         # 27-channel patch arrays -> 12-channel G output.
         self.wholeim_frame = regime == "wholeim" and \
             (opt.frameH > 0 or opt.frameW > 0)
+        # video full-frame mode (round 5, VERDICT r4 item 3): the
+        # reference's FLAGSHIP inference (test_vid_wholeim.lua:159-220) —
+        # the video G tiled over a fineSize-padded whole frame with the
+        # vflip-top-tiles trick, optional netI initializer cascade, and the
+        # mask-only composite — served over the same uint8 wire as the
+        # wholeim frame mode: ctx = predLen channel-folded WHOLE frames
+        # (frameH, frameW, nc*predLen) + required mask.  Until round 5
+        # this path existed only offline (eval/wholeim.py, eval/stream.py).
+        self.video_frame = regime == "video" and \
+            (opt.frameH > 0 or opt.frameW > 0)
         self.in_h = self.in_w = self.fs
         self.in_c = self.nc_in
-        if self.wholeim_frame:
+        if self.wholeim_frame or self.video_frame:
             if opt.frameH < self.fs or opt.frameW < self.fs:
                 raise SystemExit(
                     f"frameH/frameW must both be >= fineSize {self.fs} "
                     f"(got {opt.frameH}x{opt.frameW}) — the patch grid "
                     "must fit the frame")
+        if self.wholeim_frame:
             if opt.predLen != 1:
                 raise SystemExit(
                     "wholeim full-frame serving needs predLen=1 "
                     "(dataset_wholeim.lua:402 asserts length==1)")
             self.in_h, self.in_w, self.in_c = opt.frameH, opt.frameW, opt.nc
+        if self.video_frame:
+            if self.noise_gen:
+                raise SystemExit("video full-frame serving does not "
+                                 "compose with noiseGen")
+            self.in_h, self.in_w = opt.frameH, opt.frameW
+            self.in_c = opt.nc * opt.predLen
+            self.composable = False    # the frame fn owns its composite
         self.max_delay = max_delay_ms / 1000.0
         _, self._params, self._bn = load_generator(opt, regime, net_path)
         from video_filler_tpu.models import build_for_regime
@@ -163,7 +190,7 @@ class InpaintServer:
         composable, center_paste = self.composable, self.center_paste
         video3d, pred_len = self.video3d, opt.predLen
         overlap, noise_gen = opt.overlapPred, self.noise_gen
-        wholeim_frame = self.wholeim_frame
+        wholeim_frame, video_frame = self.wholeim_frame, self.video_frame
         fs, nc = self.fs, opt.nc
         arrh, arrw, outh, outw = (opt.array_h, opt.array_w,
                                   opt.out_h, opt.out_w)
@@ -172,6 +199,82 @@ class InpaintServer:
         from video_filler_tpu.ops import image as image_ops
         from video_filler_tpu.ops import masks as mask_ops
         from video_filler_tpu.ops.layers3d import fold_time, unfold_time
+
+        # netI initializer cascade for video full-frame serving
+        # (test_vid_wholeim.lua:178-190): a second generator checkpoint run
+        # ahead of G, its output composited into the masked pixels of each
+        # tile.  Loaded as jit ARGUMENTS (device handles), never closure
+        # constants — a baked-in net would bloat the executable.
+        use_init = self.video_frame and bool(opt.withInit and opt.initName)
+        self._extra_args = ()
+        if use_init:
+            _, p_i, bn_i = load_generator(opt, regime, opt.initName)
+            self._extra_args = (p_i, bn_i)
+
+        if self.video_frame:
+            import math as _math
+            from video_filler_tpu.eval.tiling import VFLIP_TOP_TILES
+            fh, fw = opt.frameH, opt.frameW
+            oph = _math.ceil(fh / fs) * fs
+            opw = _math.ceil(fw / fs) * fs
+            n_th, n_tw = oph // fs, opw // fs
+
+            def _gather(x):
+                """(B, oph, opw, C) -> (B*nT, fs, fs, C) row-major tiles,
+                the leftmost VFLIP_TOP_TILES of the top row vertically
+                flipped (eval/tiling.gather_tiles, batched in-jit)."""
+                tiles = []
+                for th in range(n_th):
+                    for tw in range(n_tw):
+                        t = x[:, th * fs:(th + 1) * fs,
+                              tw * fs:(tw + 1) * fs]
+                        if th == 0 and tw < VFLIP_TOP_TILES:
+                            t = t[:, ::-1]
+                        tiles.append(t)
+                t = jnp.stack(tiles, axis=1)
+                return t.reshape((-1,) + t.shape[2:])
+
+            def _scatter(y, b):
+                """Inverse of _gather (un-flip the trick tiles)."""
+                y = y.reshape((b, n_th * n_tw) + y.shape[1:])
+                rows, i = [], 0
+                for th in range(n_th):
+                    cols = []
+                    for tw in range(n_tw):
+                        t = y[:, i]
+                        if th == 0 and tw < VFLIP_TOP_TILES:
+                            t = t[:, ::-1]
+                        cols.append(t)
+                        i += 1
+                    rows.append(jnp.concatenate(cols, axis=2))
+                return jnp.concatenate(rows, axis=1)
+
+            def video_frame_fn(params, bn_state, frame_u8, mask_u8,
+                               *init_nets):
+                """(B, frameH, frameW, nc*predLen) folded frames + mask ->
+                composited inpaint: mask-fill, pad bottom-right to fineSize
+                multiples with -1 (the reference normalizes after writing
+                into a zero canvas, test_vid_wholeim.lua:139-141), tile
+                with the vflip trick, optional netI cascade, one batched G
+                forward, scatter back, composite ONLY inside the mask
+                (test_vid_wholeim.lua:159-220)."""
+                b = frame_u8.shape[0]
+                x = image_ops.normalize_uint8(frame_u8)
+                m = mask_u8 > 0
+                xm = mask_ops.apply_logo_mask(x, m, mask_value)
+                pad = ((0, 0), (0, oph - fh), (0, opw - fw), (0, 0))
+                xp = jnp.pad(xm, pad, constant_values=-1.0)
+                mp_ = jnp.pad(m, pad)           # pad region: not inpainted
+                tiles = _gather(xp)
+                if init_nets:
+                    tmask = _gather(mp_)
+                    mid, _ = gen.apply(init_nets[0], init_nets[1], tiles,
+                                       train=False)
+                    tiles = mask_ops.fill_in(tiles, tmask, mid)
+                pred, _ = gen.apply(params, bn_state, tiles, train=False)
+                frames_out = _scatter(pred.astype(jnp.float32), b)
+                out = jnp.where(mp_, frames_out, xp)
+                return image_ops.denormalize_to_uint8(out[:, :fh, :fw])
 
         def wholeim_frame_fn(params, bn_state, frame_u8, mask_u8):
             """(B, frameH, frameW, nc) frame + mask -> composited inpaint:
@@ -208,7 +311,10 @@ class InpaintServer:
             out = jnp.where(m & (cnt > 0), mean_pred, xm)
             return image_ops.denormalize_to_uint8(out)
 
-        def serve_fn(params, bn_state, ctx_u8, mask_u8, noise):
+        def serve_fn(params, bn_state, ctx_u8, mask_u8, noise, *extra):
+            if video_frame:
+                return video_frame_fn(params, bn_state, ctx_u8, mask_u8,
+                                      *extra)
             if wholeim_frame:
                 return wholeim_frame_fn(params, bn_state, ctx_u8, mask_u8)
             x = image_ops.normalize_uint8(ctx_u8)
@@ -250,8 +356,11 @@ class InpaintServer:
             bsh = parallel.batch_sharding(mesh)
             self._params = jax.device_put(self._params, repl)
             self._bn = jax.device_put(self._bn, repl)
+            self._extra_args = tuple(jax.device_put(a, repl)
+                                     for a in self._extra_args)
             self._serve_fn = jax.jit(
-                serve_fn, in_shardings=(repl, repl, bsh, bsh, bsh),
+                serve_fn, in_shardings=(repl, repl, bsh, bsh, bsh)
+                + (repl,) * len(self._extra_args),
                 out_shardings=bsh)
         else:
             self._serve_fn = jax.jit(serve_fn)
@@ -275,7 +384,8 @@ class InpaintServer:
         z = np.zeros((self.batch, self.in_h, self.in_w, self.in_c), np.uint8)
         zm = np.ones((self.batch, self.in_h, self.in_w, 1), np.uint8)
         zn = np.zeros((self.batch, 1, 1, self.nz), np.float32)
-        np.asarray(self._serve_fn(self._params, self._bn, z, zm, zn))
+        np.asarray(self._serve_fn(self._params, self._bn, z, zm, zn,
+                                  *self._extra_args))
 
         # device_thread=False: the caller drives the batch loop itself via
         # run_forever() — lets the DEVICE work own the main thread (some
@@ -403,7 +513,8 @@ class InpaintServer:
                         noise[at:at + c.shape[0]] = nz
                     at += c.shape[0]
                 out = np.asarray(self._serve_fn(self._params, self._bn,
-                                                ctx, mask, noise))
+                                                ctx, mask, noise,
+                                                *self._extra_args))
                 at = 0
                 for c, _, _, fut, _ in items:
                     fut.set_result(out[at:at + c.shape[0]])
@@ -439,10 +550,10 @@ class InpaintServer:
                              f"{self.in_c}), got {ctx.shape[1:]}")
         if ctx.dtype != np.uint8:
             raise ValueError(f"ctx must be uint8 [0,255], got {ctx.dtype}")
-        if self.wholeim_frame and mask is None:
+        if (self.wholeim_frame or self.video_frame) and mask is None:
             # The implicit all-ones default would mask-fill the WHOLE frame
             # — never what a full-frame client means.  Make it explicit.
-            raise ValueError("wholeim full-frame serving requires a mask "
+            raise ValueError("full-frame serving requires a mask "
                              "(which pixels to inpaint)")
         if mask is not None and mask.shape != (n, self.in_h, self.in_w, 1):
             raise ValueError(f"mask must be ({n},{self.in_h},{self.in_w},1), "
@@ -552,7 +663,8 @@ class InpaintServer:
                             f"ctx must be uint8 (B,{ih},{iw},{c}), got "
                             f"{ctx.dtype} {ctx.shape}")
                     if mask is not None and not (server.composable
-                                                 or server.wholeim_frame):
+                                                 or server.wholeim_frame
+                                                 or server.video_frame):
                         raise ValueError(
                             "mask compositing needs matching in/out "
                             "geometry (video/logo regimes) or wholeim "
