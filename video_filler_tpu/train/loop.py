@@ -140,8 +140,6 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
             raise SystemExit(
                 "dataDevice=1 is incompatible with display=1 (the preview "
                 "grid pulls an extra HOST batch) — set display=0")
-        if opt.withInit:
-            raise SystemExit("dataDevice does not support withInit")
     seed = opt.manualSeed or int(np.random.randint(1, 10000))
     if n_proc > 1 and not opt.manualSeed:
         # Model init / in-jit RNG must agree across hosts.
@@ -271,8 +269,7 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
         corpus_dev = tuple(jax.device_put(a, repl) for a in arrays)
         if not quiet:
             mb = sum(a.nbytes for a in arrays) / 1e6
-            print(f"dataDevice: {arrays[0].shape[1]} frames x "
-                  f"{arrays[0].shape[0]} variants resident on device "
+            print(f"dataDevice: {dd_meta['desc']} resident on device "
                   f"({mb:.0f} MB); per-step host transfer: one int32 seed")
         loader = device_data.NullLoader()
     else:
@@ -303,13 +300,21 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
     # eager jax.random.split per step would be a device round-trip each
     # iteration (expensive over a remote-TPU link, needless everywhere).
     if dev_sample is not None:
-        def _fused(state, dev, step_seed):
-            # Third stream for the device sampler: the batch itself is a
-            # function of (seed, global step) — nothing arrives from the
-            # host but the int32 seed.
-            kd, k1, k2 = jax.random.split(jax.random.PRNGKey(step_seed), 3)
-            batch = dev_sample(dev[0], dev[1], kd)
-            return step_fn(state, preprocess(batch, k1), k2)
+        if with_init:
+            def _fused(state, dev, step_seed, init_net):
+                kd, k1, k2 = jax.random.split(
+                    jax.random.PRNGKey(step_seed), 3)
+                batch = dev_sample(dev, kd)
+                return step_fn(state, preprocess(batch, k1), k2, init_net)
+        else:
+            def _fused(state, dev, step_seed):
+                # Third stream for the device sampler: the batch itself is
+                # a function of (seed, global step) — nothing arrives from
+                # the host but the int32 seed.
+                kd, k1, k2 = jax.random.split(
+                    jax.random.PRNGKey(step_seed), 3)
+                batch = dev_sample(dev, kd)
+                return step_fn(state, preprocess(batch, k1), k2)
         fused = jax.jit(_fused, donate_argnums=0)
     elif with_init:
         def _fused(state, host_batch, step_seed, init_net):
