@@ -123,6 +123,24 @@ def main() -> None:
         print(f"worker {pid} tp done: step={int(state2.step)}")
         return
 
+    if mode == "dd":
+        # dataDevice over 2 processes: the corpus becomes a GLOBAL
+        # replicated array (each host feeds its local replicas after the
+        # cross-host checksum agreement), batches are synthesized in-jit —
+        # the batch stream is a pure function of (seed, step), so this run
+        # must match a single-process dataDevice run on the same corpus.
+        opt = Opt(DATA_ROOT=data_root, loadSize=128, wtl2=0.999, nef=8,
+                  ngf=8, ndf=8, nBottleneck=32, batchSize=8, nThreads=0,
+                  niter=2, ntrain=8, manualSeed=222, display=False,
+                  checkpointEvery=1, dataDevice=True,
+                  computeDtype="float32", name="dd")
+        state = train(opt, "center", quiet=True)
+        flat = np.concatenate([np.asarray(x).ravel()
+                               for x in jax.tree.leaves(state.params_g)])
+        np.savez(out, step=int(state.step), params_g=flat)
+        print(f"worker {pid} dd done: step={int(state.step)}")
+        return
+
     # --- slice integrity: this host's rows land only in this host's shards.
     mesh = parallel.make_mesh(n_data=8)
     local = np.full((4, 2, 2, 3), pid, np.uint8)

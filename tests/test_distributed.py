@@ -169,6 +169,81 @@ def test_two_process_tp_checkpoint_and_resume(tmp_path):
     assert (tmp_path / "checkpoints" / "tp_2_state.npz").exists()
 
 
+def test_two_process_datadevice_matches_single(tmp_path):
+    """dataDevice=1 over 2 processes: the corpus becomes a GLOBAL replicated
+    array (after the cross-host checksum agreement) and batches are
+    synthesized in-jit.  Because the batch stream is a pure function of
+    (seed, step), the 2-process run must match a single-process dataDevice
+    run on the SAME corpus of DISTINCT images — a stronger equivalence than
+    the host-pipeline test above, which needs identical images to hide the
+    loader's scheduling nondeterminism."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    from video_filler_tpu.config import Opt
+    from video_filler_tpu.data.synthetic import _texture
+    from video_filler_tpu.train.loop import train
+    from video_filler_tpu.utils.io import save_png
+
+    img_dir = tmp_path / "data" / "images"
+    img_dir.mkdir(parents=True)
+    rs = np.random.RandomState(0)
+    for i in range(8):  # distinct images — the device stream is exact
+        save_png(str(img_dir / f"im_{i:04d}.png"), _texture(rs, 128, 128))
+
+    worker = os.path.join(os.path.dirname(__file__), "_mh_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    logs = [open(tmp_path / f"dd{i}.log", "w") for i in range(2)]
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(i), str(port), str(tmp_path / "data"),
+         str(tmp_path / f"ddout{i}.npz"), "dd"],
+        cwd=str(tmp_path), env=env,
+        stdout=logs[i], stderr=subprocess.STDOUT, text=True)
+        for i in range(2)]
+    try:
+        for p in procs:
+            p.wait(timeout=900)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()  # don't leak a worker past a timeout failure
+        for lf in logs:
+            lf.close()
+    outs = [(tmp_path / f"dd{i}.log").read_text() for i in range(2)]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{o[-3000:]}"
+
+    d0 = np.load(tmp_path / "ddout0.npz")
+    d1 = np.load(tmp_path / "ddout1.npz")
+    assert int(d0["step"]) == int(d1["step"]) == 2
+    np.testing.assert_array_equal(d0["params_g"], d1["params_g"])
+    assert (tmp_path / "checkpoints" / "dd_2_state.npz").exists()
+
+    # Single-process reference: same seed, same corpus, same in-jit batch
+    # synthesis — agreement up to the collective reduction-order float
+    # noise (amplified by Adam's rsqrt, same bound as the DP test above).
+    opt = Opt(DATA_ROOT=str(tmp_path / "data"), loadSize=128, wtl2=0.999,
+              nef=8, ngf=8, ndf=8, nBottleneck=32, batchSize=8, nThreads=0,
+              niter=2, ntrain=8, manualSeed=222, display=False,
+              checkpointEvery=5, dataDevice=True, computeDtype="float32",
+              name="dd_single")
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        s_ref = train(opt, "center", quiet=True)
+    finally:
+        os.chdir(cwd)
+    flat_ref = np.concatenate([np.asarray(x).ravel()
+                               for x in jax.tree.leaves(s_ref.params_g)])
+    np.testing.assert_allclose(flat_ref, d0["params_g"], atol=8.1e-3)
+
+
 def test_two_process_resume_desync_aborts_both(tmp_path):
     """autoResume with a checkpoint visible to only one host (checkpointDir
     not a shared FS) must abort BOTH processes with a clear collective error

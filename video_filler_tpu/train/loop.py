@@ -129,11 +129,6 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
             raise SystemExit(
                 f"dataDevice=1 supports regimes {device_data.SUPPORTED}; "
                 f"use the host pipeline for {regime!r}")
-        if n_proc > 1:
-            raise SystemExit(
-                "dataDevice is single-process: the device cache is not "
-                "sharded across hosts (each host would need its corpus "
-                "slice) — use the host pipeline under multi-host")
         if opt.seqParallel > 1:
             raise SystemExit("dataDevice does not support seqParallel")
         if opt.display:
@@ -266,7 +261,33 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
         # re-transfers numpy args per call — the whole point is that the
         # per-step upload disappears).
         repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
-        corpus_dev = tuple(jax.device_put(a, repl) for a in arrays)
+        if n_proc > 1:
+            # Multi-host: every process decodes the full (shared-FS) corpus
+            # and feeds its local replicas of a GLOBAL replicated array.
+            # Inconsistent replicas would corrupt training silently (the
+            # SPMD program is identical; only the data would differ), so
+            # hosts first agree on a corpus checksum — same discipline as
+            # the resume-desync check below.
+            import zlib
+            from jax.experimental import multihost_utils
+            import jax.numpy as jnp
+            crc = 0
+            for a in arrays:
+                crc = zlib.crc32(a.tobytes(), crc)
+            crcs = np.asarray(multihost_utils.process_allgather(
+                jnp.uint32(crc)))
+            if len({int(c) for c in crcs}) != 1:
+                raise SystemExit(
+                    f"dataDevice multi-host: per-process corpus checksums "
+                    f"differ ({[hex(int(c)) for c in crcs]}) — DATA_ROOT "
+                    f"{opt.DATA_ROOT!r} must be one shared corpus visible "
+                    "identically to every process")
+            corpus_dev = tuple(
+                jax.make_array_from_callback(a.shape, repl,
+                                             lambda idx, a=a: a[idx])
+                for a in arrays)
+        else:
+            corpus_dev = tuple(jax.device_put(a, repl) for a in arrays)
         if not quiet:
             mb = sum(a.nbytes for a in arrays) / 1e6
             print(f"dataDevice: {dd_meta['desc']} resident on device "
