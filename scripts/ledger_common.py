@@ -9,6 +9,7 @@ protocol change happens in exactly one place.
 """
 import json
 import os
+import shutil
 
 import jax
 
@@ -22,7 +23,19 @@ from video_filler_tpu.train.step import init_train_state
 def json_flusher(path, rows):
     """Atomic-write ``rows`` as JSON to ``path``; pass as
     run_ledger(flush=...) so every scored row is persisted the moment it
-    lands — a tunnel flap killing a multi-hour ledger keeps its curve."""
+    lands — a tunnel flap killing a multi-hour ledger keeps its curve.
+
+    A pre-existing ``path`` (a partial curve from an earlier attempt) is
+    copied to ``path.prevN`` at flusher creation, so a retry that dies
+    EARLIER than the first attempt can never lose the longer partial
+    curve (advisor r4 #1); ``path`` itself keeps the old curve until the
+    new attempt's first row lands."""
+    if os.path.exists(path):
+        n = 1
+        while os.path.exists(f"{path}.prev{n}"):
+            n += 1
+        shutil.copyfile(path, f"{path}.prev{n}")
+
     def _flush():
         with open(path + ".tmp", "w") as f:
             json.dump(rows, f, indent=1)
