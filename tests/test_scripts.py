@@ -54,3 +54,26 @@ def test_rename_cli_dry_run_then_apply(tmp_path):
     assert os.listdir(d) == ["masked_c_hd3_hd3.jpg"]  # untouched
     subprocess.run(cmd + ["--apply"], capture_output=True, check=True)
     assert os.listdir(d) == ["c_hd3.jpg"]
+
+
+def test_json_flusher_backs_up_partial_curves(tmp_path, monkeypatch):
+    """A ledger retry must never lose a longer partial curve from an
+    earlier attempt (advisor r4 #1): json_flusher copies any pre-existing
+    results file to <path>.prevN at creation, and the path keeps the old
+    rows until the retry's first flush."""
+    import json
+
+    from ledger_common import json_flusher
+
+    monkeypatch.chdir(tmp_path)
+    first = [{"ckpt": "init"}, {"ckpt": "mid"}]
+    json_flusher("r.json", first)()
+    # Retry that dies before its first row: path still holds the old curve.
+    json_flusher("r.json", [])
+    assert json.load(open("r.json")) == first
+    assert json.load(open("r.json.prev1")) == first
+    # Retry that flushes a shorter curve: old curve survives in .prev2.
+    retry = [{"ckpt": "init"}]
+    json_flusher("r.json", retry)()
+    assert json.load(open("r.json")) == retry
+    assert json.load(open("r.json.prev2")) == first
