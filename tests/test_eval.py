@@ -290,3 +290,27 @@ def test_export_stablehlo_video3d_and_noisegen(tmp_path, rng):
     z2 = rs.randn(2, 1, 1, 16).astype(np.float32)
     assert not np.array_equal(
         np.asarray(gn.call(jnp.asarray(ctxn), jnp.asarray(z2))), outn)
+
+
+def test_evaluate_noisegen(tmp_path):
+    """noiseGen generators take x=(ctx, z): the scoring/bench harness must
+    feed the bottleneck join its noise leg (regression: the round-5
+    noisegen16 ledger trained 120 epochs on-chip then crashed in
+    evaluate() at the unpack in the generator apply)."""
+    from video_filler_tpu.eval.metrics import bench_inference, evaluate
+
+    old_cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        root = synthetic.make_image_folder(str(tmp_path / "data"), n=4,
+                                           h=150, w=180)
+        opt = Opt(DATA_ROOT=root, loadSize=140, wtl2=0.999, overlapPred=4,
+                  noiseGen=True, nz=16, name="ngt", **TINY)
+        train(opt, "center", quiet=True)
+        opt = opt.replace(net="checkpoints/ngt_1_state.npz")
+        q = evaluate(opt, "center", n_batches=2)
+        assert np.isfinite(q["psnr_db"]) and q["hole_l2"] > 0
+        s = bench_inference(opt, "center", iters=2)
+        assert s["clips_per_sec"] > 0
+    finally:
+        os.chdir(old_cwd)

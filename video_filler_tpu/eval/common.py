@@ -9,6 +9,24 @@ from video_filler_tpu.config import Opt
 from video_filler_tpu.models import build_for_regime
 
 
+def gen_input(opt: Opt, ctx, key):
+    """Generator input for an eval forward.
+
+    noiseGen generators join an nz-channel noise projection into the
+    bottleneck and take x=(ctx, z) with z shaped (B,1,1,nz)
+    (train.lua:107-150); every other variant takes ctx alone.  The z draw
+    matches training's per-step regeneration (train.lua:319-323,
+    train/step.py _draw_noise): opt.noisetype selects uniform [-1,1] or
+    standard normal."""
+    if not opt.noiseGen:
+        return ctx
+    shape = (ctx.shape[0], 1, 1, opt.nz)
+    z = (jax.random.uniform(key, shape, minval=-1.0, maxval=1.0)
+         if opt.noisetype == "uniform"
+         else jax.random.normal(key, shape))
+    return (ctx, z)
+
+
 def load_generator(opt: Opt, regime: str, net_path: str):
     """Load JUST the generator from a training checkpoint and return
     (forward, params_g, state_g) with forward jitted in eval mode

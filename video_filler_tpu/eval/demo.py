@@ -7,13 +7,14 @@ from __future__ import annotations
 import os
 import sys
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from video_filler_tpu.config import Opt, from_args
 from video_filler_tpu.data import decode
 from video_filler_tpu.data.index import IMG_EXTS
-from video_filler_tpu.eval.common import load_generator
+from video_filler_tpu.eval.common import gen_input, load_generator
 from video_filler_tpu.ops import masks
 from video_filler_tpu.ops.image import normalize_uint8
 from video_filler_tpu.utils import save_image_grid
@@ -32,7 +33,8 @@ def run_demo(opt: Opt, out_path: str | None = None) -> dict[str, np.ndarray]:
     ctx = masks.center_mask_fill(real, opt.overlapPred)
 
     forward, params, bn_state = load_generator(opt, "center", opt.net)
-    pred_center = forward(params, bn_state, ctx)
+    pred_center = forward(params, bn_state, gen_input(
+        opt, ctx, jax.random.PRNGKey(opt.manualSeed)))
     inpainted = masks.paste_center(ctx, pred_center, opt.overlapPred)
 
     if out_path is None:

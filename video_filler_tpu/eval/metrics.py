@@ -23,7 +23,7 @@ import numpy as np
 
 from video_filler_tpu.config import Opt, from_args
 from video_filler_tpu.data.pipeline import make_sampler
-from video_filler_tpu.eval.common import load_generator
+from video_filler_tpu.eval.common import gen_input, load_generator
 from video_filler_tpu.ops import losses, masks
 from video_filler_tpu.train.step import make_preprocess
 
@@ -76,7 +76,11 @@ def evaluate(opt: Opt, regime: str, n_batches: int = 8,
         key, sub = jax.random.split(key)
         batch = preprocess(jax.tree.map(jnp.asarray, sampler(rs)), sub)
         ctx, target, mask = _prepare(opt, regime, batch)
-        pred = forward(params, bn_state, ctx)
+        x = ctx
+        if opt.noiseGen:  # guarded split: keeps non-noiseGen key streams
+            key, kz = jax.random.split(key)  # (= prior ledgers) unchanged
+            x = gen_input(opt, ctx, kz)
+        pred = forward(params, bn_state, x)
         if regime == "center":
             # hole metrics stay in the predicted-crop domain; full-frame
             # metrics composite the crop into the real 128² frame
@@ -134,6 +138,8 @@ def bench_inference(opt: Opt, regime: str, iters: int = 50,
         gspec, _ = specs_for_regime(opt, regime)
         shape = (opt.batchSize, 128, 128, gspec.nc_in)
     x = jnp.asarray(rs.rand(*shape).astype(np.float32) * 2 - 1)
+    if opt.noiseGen:
+        x = gen_input(opt, x, jax.random.PRNGKey(0))
     # Timing MUST end with a value fetch: on the remote (axon) TPU backend
     # block_until_ready does not wait for execution, reading ~3.5x too fast
     # (repo invariant, CLAUDE.md; bench.py does the same).

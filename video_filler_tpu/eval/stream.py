@@ -64,6 +64,9 @@ def _scatter(out: np.ndarray, fs: int, nc: int, t: int, outh: int, outw: int):
 def run_stream(opt: Opt, video: int = 0, start_frame: int | None = None,
                num_frames: int | None = None, out_dir: str | None = None,
                write_gif: bool = True):
+    if opt.noiseGen:
+        raise ValueError("noiseGen does not compose with tiled whole-frame "
+                         "eval (same guard as serve.py's frame mode)")
     corpus = VideoCorpus(opt.DATA_ROOT,
                          variants=(("gt", 1.0 - opt.gt1Prob),
                                    ("gt1", opt.gt1Prob)))

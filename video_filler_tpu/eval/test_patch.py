@@ -14,7 +14,7 @@ import numpy as np
 from video_filler_tpu.config import Opt, from_args
 from video_filler_tpu.data.index import FolderIndex
 from video_filler_tpu.data.pipeline import center_sampler
-from video_filler_tpu.eval.common import load_generator
+from video_filler_tpu.eval.common import gen_input, load_generator
 from video_filler_tpu.ops import masks
 from video_filler_tpu.ops.image import normalize_uint8
 from video_filler_tpu.utils import save_image_grid
@@ -28,15 +28,8 @@ def run_test(opt: Opt, out_prefix: str | None = None) -> dict[str, np.ndarray]:
     ctx = masks.center_mask_fill(real, opt.overlapPred)
 
     forward, params, bn_state = load_generator(opt, "center", opt.net)
-    if opt.noiseGen:
-        key = jax.random.PRNGKey(opt.manualSeed)
-        noise = (jax.random.uniform(key, (real.shape[0], 1, 1, opt.nz),
-                                    minval=-1, maxval=1)
-                 if opt.noisetype == "uniform"
-                 else jax.random.normal(key, (real.shape[0], 1, 1, opt.nz)))
-        pred = forward(params, bn_state, (ctx, noise))
-    else:
-        pred = forward(params, bn_state, ctx)
+    pred = forward(params, bn_state, gen_input(
+        opt, ctx, jax.random.PRNGKey(opt.manualSeed)))
     inpainted = masks.paste_center(ctx, pred, opt.overlapPred)
 
     prefix = out_prefix or opt.name

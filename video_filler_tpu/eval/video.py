@@ -14,7 +14,7 @@ import numpy as np
 from video_filler_tpu.config import Opt, from_args
 from video_filler_tpu.data.index import VideoCorpus
 from video_filler_tpu.data.pipeline import load_mask, video_sampler
-from video_filler_tpu.eval.common import load_generator
+from video_filler_tpu.eval.common import gen_input, load_generator
 from video_filler_tpu.ops import masks
 from video_filler_tpu.train.step import make_preprocess
 from video_filler_tpu.utils import save_gif, save_png
@@ -47,7 +47,8 @@ def run_test_vid(opt: Opt, out_dir: str | None = None,
 
     forward, params, bn_state = load_generator(opt, regime, opt.net)
     ctx = masks.apply_logo_mask(batch["real"], batch["mask"], opt.maskValue)
-    fake = forward(params, bn_state, ctx)
+    fake = forward(params, bn_state, gen_input(
+        opt, ctx, jax.random.PRNGKey(opt.manualSeed)))
     inpainted = masks.fill_in(batch["real"], batch["mask"], fake)
 
     out_dir = out_dir or opt.name

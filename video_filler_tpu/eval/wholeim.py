@@ -72,6 +72,9 @@ def _load_padded_frames(opt: Opt, corpus: VideoCorpus,
 
 def run_wholeim(opt: Opt, out_dir: str | None = None,
                 with_init: bool | None = None) -> dict[str, np.ndarray]:
+    if opt.noiseGen:
+        raise ValueError("noiseGen does not compose with tiled whole-frame "
+                         "eval (same guard as serve.py's frame mode)")
     input_len = opt.inputLen or opt.predLen
     assert opt.predLen % input_len == 0, \
         "predLen must divide by inputLen (test_vid_wholeim.lua:41)"
