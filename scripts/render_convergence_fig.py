@@ -72,12 +72,19 @@ PANELS = [
      _series("logo_wholeim_results.json", regime="wholeim")),
     ("wholeim 10k soak\n(save-free, device-resident data)",
      _series("wholeim_soak_results.json", regime="wholeim")),
+    ("center 10k soak — 2048 textures\n(held-out peaks @1250, then drifts)",
+     _series("center_soak_results.json", regime="center")),
 ]
 
 
 def main():
-    fig, axes = plt.subplots(3, 3, figsize=(11, 8.2), dpi=120)
+    ncols = 3
+    nrows = (len(PANELS) + ncols - 1) // ncols
+    fig, axes = plt.subplots(nrows, ncols,
+                             figsize=(11, 2.73 * nrows), dpi=120)
     fig.patch.set_facecolor(SURFACE)
+    for ax in axes.flat[len(PANELS):]:
+        ax.set_visible(False)
     for i, (ax, (title, data)) in enumerate(zip(axes.flat, PANELS)):
         ax.set_facecolor(SURFACE)
         for split, color, label in (("train", TRAIN, "train"),
@@ -104,9 +111,9 @@ def main():
         for side in ("left", "bottom"):
             ax.spines[side].set_color(SPINE)
         ax.tick_params(colors=INK2, labelsize=8)
-        if i % 3 == 0:
+        if i % ncols == 0:
             ax.set_ylabel("hole-L2", fontsize=8, color=INK2)
-        if i >= 6:
+        if i + ncols >= len(PANELS):  # nothing rendered below this panel
             ax.set_xlabel("training step", fontsize=8, color=INK2)
     handles, labels = axes.flat[0].get_legend_handles_labels()
     fig.legend(handles, labels, loc="upper right", ncol=2, frameon=False,
