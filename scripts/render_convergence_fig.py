@@ -74,6 +74,8 @@ PANELS = [
      _series("wholeim_soak_results.json", regime="wholeim")),
     ("center 10k soak — 2048 textures\n(held-out peaks @1250, then drifts)",
      _series("center_soak_results.json", regime="center")),
+    ("wholeim 30k soak\n(plateaus @~18k; D collapse harmless)",
+     _series("wholeim_soak30k_results.json", regime="wholeim")),
 ]
 
 
