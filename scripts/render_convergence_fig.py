@@ -76,6 +76,8 @@ PANELS = [
      _series("center_soak_results.json", regime="center")),
     ("wholeim 30k soak\n(plateaus @~18k; D collapse harmless)",
      _series("wholeim_soak30k_results.json", regime="wholeim")),
+    ("video3d 10k soak\n(still falling @10k — no overtraining)",
+     _series("video3d_soak_results.json", regime="video3d")),
 ]
 
 
