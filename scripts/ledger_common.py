@@ -99,7 +99,17 @@ def run_ledger(opt, regime, splits, results, mid_tag, final_tag,
                        n_batches, flush=flush,
                        loaded=(fwd, state.params_g, state.state_g))
         state = train(opt, regime, max_steps=max_steps, epoch_hook=hook)
-        _score(opt, regime, final_tag, splits, results, n_batches,
+        # Tag the final row by the REAL global step, not the caller's
+        # hand-computed final_tag: the loop clamps ntrain to the split's
+        # actual size (loop.py: ntrain = min(ds_size, opt.ntrain)), so a
+        # caller that did its steps/epoch arithmetic on the unclamped
+        # ntrain mislabels the row (the round-5 logo soak's "step10000"
+        # was really step 7500: 819 train pairs -> 12 steps/epoch, not 16).
+        real_tag = f"step{int(jax.device_get(state.step))}"
+        if real_tag != final_tag:
+            print(f"final_tag {final_tag} != actual {real_tag}; "
+                  "using actual", flush=True)
+        _score(opt, regime, real_tag, splits, results, n_batches,
                loaded=(fwd, state.params_g, state.state_g), flush=flush)
         del state
         return

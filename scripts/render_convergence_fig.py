@@ -29,8 +29,9 @@ TRAIN = "#2a78d6"   # categorical slot 1 (blue)
 HELD = "#eb6834"    # categorical slot 2 (orange)
 
 # Tags run_ledger writes -> training step (mid/final are the bigcorpus-
-# family runs: 26 steps/epoch, checkpointEvery=32, niter=120).
-STEP = {"init": 0, "mid": 832, "final": 3120}
+# family runs: 1638 train images -> 25 steps/epoch, checkpointEvery=32,
+# niter=120 -> epochs 32/120 = steps 800/3000).
+STEP = {"init": 0, "mid": 800, "final": 3000}
 
 
 def _step(tag):
@@ -78,6 +79,8 @@ PANELS = [
      _series("wholeim_soak30k_results.json", regime="wholeim")),
     ("video3d 10k soak\n(still falling @10k — no overtraining)",
      _series("video3d_soak_results.json", regime="video3d")),
+    ("logo 7.5k soak — pair split\n(held-out peaks @6804, then oscillates)",
+     _series("logo_soak_results.json", regime="logo")),
 ]
 
 

@@ -65,8 +65,8 @@ LEDGERS = {
     # so scoring is all that's missing; no retrain needed (seed 222).
     "ng": ("/tmp/bigcorpus", "center",
            Opt(DATA_ROOT="images", ntrain=1664, noiseGen=True, **_CENTER),
-           [("init", "ng_init_0"), ("step832", "ng_32"),
-            ("step3120", "ng_final_999")], ("train", "test")),
+           [("init", "ng_init_0"), ("step800", "ng_32"),
+            ("step3000", "ng_final_999")], ("train", "test")),
     "lw_wi": ("/tmp/lw_ledgers", "wholeim",
               Opt(DATA_ROOT="corpus", maskName="mask.png", loadSize=180,
                   batchSize=32, nef=192, ngf=192, ndf=128, nBottleneck=6400,

@@ -1,7 +1,7 @@
 """center 10k-step soak on the 2048-texture corpus (round 5).
 
 The corpus-size control (scripts/run_center_bigcorpus.py) shows center
-generalizing on the 8x corpus at 3,120 steps (train/held-out within
+generalizing on the 8x corpus at 3,000 steps (train/held-out within
 ~0.2 dB).  This run extends the same configuration to ~10k steps to
 answer the long-horizon question the wholeim soak answered for its
 regime: does held-out keep improving with more optimization given enough
@@ -10,8 +10,9 @@ data, or does the 2048-texture corpus eventually memorize too (the
 train keeps falling — the memorization signature)?
 
 Protocol: ``dataDevice=1`` (HBM-resident corpus, in-jit batch synthesis),
-save-free device-resident scoring every 50 epochs (1,300 steps),
-16-batch ±std eval, seed 222.  niter=385 at 26 steps/epoch -> 10,010.
+save-free device-resident scoring every 50 epochs (1,250 steps),
+16-batch ±std eval, seed 222.  1638 train images -> 25 steps/epoch
+(loop.py clamps ntrain to the split size); niter=385 -> 9,625 steps.
 
 Usage: python scripts/run_center_soak.py
 """
@@ -44,7 +45,7 @@ run_ledger(Opt(DATA_ROOT="images", batchSize=64, overlapPred=4,
                logEvery=2600, split=80, niter=385, checkpointEvery=9999,
                name="c_soak", dataDevice=True),
            "center", ("train", "test"), rows,
-           mid_tag="step3120", final_tag="step10010",
+           mid_tag="step3000", final_tag="step9625",
            max_steps=10010, save=False, score_every=50, flush=_flush)
 
 print("ALL-DONE", len(rows), flush=True)

@@ -51,9 +51,12 @@ _flush = json_flusher(OUT, RESULTS)
 
 
 def run(regime, opt, spe, splits):
+    # ``spe`` must be the CLAMPED steps/epoch (min(split size, ntrain)
+    # // batch — loop.py); both tags are computed from it so a wrong spe
+    # mislabels rows (the round-4 logo_split lesson).
     run_ledger(opt, regime, splits, RESULTS,
                mid_tag=f"step{opt.checkpointEvery * spe}",
-               final_tag="step3000", flush=_flush)
+               final_tag=f"step{opt.niter * spe}", flush=_flush)
 
 if which in ("wholeim", "both"):
     # Reference widths (train_wholeim_input.lua:40-43).  4x64 frames,
@@ -82,15 +85,16 @@ if which == "logo_split":
     # Round 4 (VERDICT r3 item 3): same logo recipe but split=80 — the
     # PairedIndex reserves the sorted tail 205 of 1024 pairs as held-out
     # (an upgrade over dataset_logo.lua:354-365's split-blind sampler) —
-    # and the ledger scores BOTH splits.  Draws are uniform-with-
-    # replacement over the 819 train pairs, so ntrain keeps the same
-    # 16-steps/epoch cadence as the round-3 train-only run.
+    # and the ledger scores BOTH splits.  NOTE (round-5 correction): the
+    # loop clamps ntrain to the 819-pair train split -> 12 steps/epoch,
+    # not 16, so epochs 50/188 are steps 600/2256 (the round-4 run's rows
+    # were relabeled accordingly in logo_split_results.json).
     run("logo",
         Opt(DATA_ROOT="pairs/masked", DATA_ROOT_GT="pairs/gt_pairs",
             batchSize=64, loadSize=150, fineSize=128,
             nBottleneck=4000, wtl2=0.999, ntrain=1024, nThreads=2,
             manualSeed=222, display=False, logEvery=400, split=80,
             niter=188, checkpointEvery=50, name="lw_lg80"),
-        spe=16, splits=("train", "test"))
+        spe=12, splits=("train", "test"))
 
 print("ALL-DONE", len(RESULTS), flush=True)
