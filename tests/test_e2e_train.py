@@ -157,6 +157,69 @@ def test_in_train_eval_records(image_root, tmp_path, monkeypatch):
     assert any("epoch" in r for r in recs)  # step records still present
 
 
+def test_keep_best_banks_the_peak(image_root, tmp_path, monkeypatch):
+    """Opt.keepBest: each improving in-train eval writes a G+BN-only
+    {name}_best_state.npz whose meta records the banked metric; the file
+    is loadable by the normal eval path and is exempt from
+    keepCheckpoints retention (non-numeric epoch tag)."""
+    import json as _json
+
+    monkeypatch.chdir(tmp_path)
+    opt = Opt(DATA_ROOT=image_root, loadSize=140, wtl2=0.999, split=80,
+              **{**TINY, "niter": 4, "evalEvery": 1, "evalBatches": 1,
+                 "evalSplit": "test", "keepBest": True,
+                 "keepCheckpoints": 1, "checkpointEvery": 1,
+                 "name": "kb"})
+    state = train(opt, "center", quiet=True)
+    spe = int(state.step) // 4  # actual (clamped) steps/epoch over 4 epochs
+
+    best = "checkpoints/kb_best_state.npz"
+    assert os.path.exists(best)
+    # Retention pruned the numbered checkpoints (prune-before-save keeps
+    # the newest `keep` PLUS the incoming save) but never the best file.
+    files = sorted(glob.glob("checkpoints/kb_*_state.npz"))
+    assert files == ["checkpoints/kb_3_state.npz",
+                     "checkpoints/kb_4_state.npz", best]
+
+    # The banked value IS the minimum over the eval events (lower-better
+    # hole_l2 default), and meta points at the epoch that achieved it.
+    with np.load(best, allow_pickle=False) as data:
+        meta = _json.loads(str(data["__meta__"]))
+        keys = set(data.files)
+    evals = [_json.loads(ln) for ln in open("logs/kb.jsonl")
+             if "eval_epoch" in ln]
+    by_epoch = {e["eval_epoch"]: e["hole_l2"] for e in evals}
+    # (JSONL rounds metric floats; meta keeps full precision.)
+    assert abs(meta["hole_l2"] - min(by_epoch.values())) < 1e-5
+    assert abs(by_epoch[meta["epoch"]] - meta["hole_l2"]) < 1e-5
+    assert meta["step"] == meta["epoch"] * spe
+    # G+BN only: no discriminator, no optimizer moments in the payload.
+    assert any(k.startswith(".params_g") for k in keys)
+    assert any(k.startswith(".state_g") for k in keys)
+    assert not any(k.startswith((".params_d", ".opt_g", ".opt_d"))
+                   for k in keys)
+
+    # The normal eval path consumes it like any checkpoint.
+    from video_filler_tpu.eval.metrics import evaluate
+    m = evaluate(opt.replace(net=best, evalSplit="test"), "center",
+                 n_batches=1)
+    assert np.isfinite(m["hole_l2"])
+    assert abs(float(m["hole_l2"]) - meta["hole_l2"]) < 5e-4
+
+
+def test_keep_best_config_preflight(image_root, tmp_path, monkeypatch):
+    """keepBest without evalEvery, or with an unknown bestMetric, aborts
+    at startup before any resources exist."""
+    monkeypatch.chdir(tmp_path)
+    base = Opt(DATA_ROOT=image_root, loadSize=140, wtl2=0.999, split=80,
+               **{**TINY, "name": "kbbad"})
+    with pytest.raises(SystemExit, match="keepBest=1 needs evalEvery"):
+        train(base.replace(keepBest=True), "center", quiet=True)
+    with pytest.raises(SystemExit, match="bestMetric"):
+        train(base.replace(keepBest=True, evalEvery=1,
+                           bestMetric="sharpness"), "center", quiet=True)
+
+
 def test_in_train_eval_preflight_fails_loud(image_root, tmp_path,
                                             monkeypatch):
     """evalEvery + evalSplit=test without split<100 must abort at STARTUP

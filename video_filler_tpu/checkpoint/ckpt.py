@@ -39,7 +39,10 @@ def _flatten(tree: Any) -> dict[str, np.ndarray]:
     return flat
 
 
-def checkpoint_path(ckpt_dir: str, name: str, epoch: int) -> str:
+def checkpoint_path(ckpt_dir: str, name: str, epoch: int | str) -> str:
+    """Non-numeric ``epoch`` tags (e.g. ``"best"``) produce files the
+    retention/resume scanners deliberately ignore (their ``_(\\d+)_``
+    patterns)."""
     return os.path.join(ckpt_dir, f"{name}_{epoch}_state.npz")
 
 

@@ -202,6 +202,17 @@ class Opt:
                                      # productizes the ledger protocol.
                                      # Single-process only (fail-loud).
     evalBatches: int = 4             # batches per in-train eval event
+    keepBest: bool = False           # with evalEvery: whenever the in-train
+                                     # eval improves bestMetric, save a
+                                     # G+BN-only {name}_best_state.npz
+                                     # (loadable by every eval/serve path;
+                                     # exempt from keepCheckpoints pruning).
+                                     # Every regime's soak shows a measured
+                                     # early-stop point (BASELINE.md) —
+                                     # this banks the peak automatically.
+    bestMetric: str = "hole_l2"      # metric keepBest monitors on evalSplit:
+                                     # l2|hole_l2 (lower wins) or
+                                     # psnr_db|ssim (higher wins)
     checkpointEvery: int = 20        # epochs (train.lua:460; wholeim uses 2)
     checkpointDir: str = "checkpoints"
     keepCheckpoints: int = 0         # >0: after each save, delete this run's

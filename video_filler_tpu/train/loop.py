@@ -23,6 +23,7 @@ import signal
 import sys
 import threading
 import time
+import typing
 
 import jax
 import numpy as np
@@ -46,6 +47,31 @@ from video_filler_tpu.train.step import (
     make_train_step,
 )
 from video_filler_tpu.utils import MetricsLogger, save_image_grid
+
+# Metrics eval/metrics.evaluate emits (less the *_std/protocol columns);
+# keepBest's bestMetric must name one.  Higher-is-better for PSNR/SSIM,
+# lower-is-better otherwise.
+_EVAL_METRICS = {"l2", "psnr_db", "ssim", "hole_l2"}
+_HIGHER_BETTER = {"psnr_db", "ssim"}
+
+
+class _BestG(typing.NamedTuple):
+    """G+BN-only keep-best checkpoint payload.  Saved through the normal
+    npz codec, its leaves flatten to the same ``.params_g...`` /
+    ``.state_g...`` keys a full TrainState produces, so
+    eval/common.load_generator (and serve.py / eval CLIs) read a best-file
+    like any other checkpoint; D and the Adam moments are deliberately
+    absent — the consumer is inference, and over the axon tunnel the fetch
+    is ~4x smaller (the 4.5 GB full-TrainState fetch hung the relay,
+    CLAUDE.md).  Every training regime's long-horizon soak shows a
+    measured early-stop point (BASELINE.md: center's held-out peaks then
+    drifts, video overtrains past ~3k, logo oscillates around ~6.8k) —
+    keepBest turns those findings into a trainer feature the reference
+    never had (its QC was hand-watching display grids, train.lua:427-445).
+    """
+    params_g: typing.Any
+    state_g: typing.Any
+    step: typing.Any
 
 
 def _display_dump(opt: Opt, regime: str, batch, fake, out_dir: str,
@@ -120,6 +146,17 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
                 f"evalEvery: evalSplit={opt.evalSplit!r} selects an empty "
                 f"dataset portion (split={opt.split}) — use split < 100 "
                 "to reserve a held-out portion")
+    if opt.keepBest:
+        # keep-best checkpointing rides the evalEvery events; validate the
+        # combination up front (same fail-before-resources rule as above).
+        if opt.evalEvery <= 0:
+            raise SystemExit(
+                "keepBest=1 needs evalEvery=N (>0): the best-so-far test "
+                "runs at each in-train eval event")
+        if opt.bestMetric not in _EVAL_METRICS:
+            raise SystemExit(
+                f"bestMetric={opt.bestMetric!r} is not an eval metric; "
+                f"expected one of {sorted(_EVAL_METRICS)}")
     if opt.dataDevice:
         # HBM-resident corpus (data/device_data.py): batches are
         # synthesized inside the fused step, so everything that consumes
@@ -412,6 +449,32 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
                              loaded=(_eval_shared["fwd"], st.params_g,
                                      st.state_g))
                 logger.log_eval(ep, opt.evalSplit, m)
+                if opt.keepBest:
+                    val = float(m[opt.bestMetric])
+                    prev = _eval_shared.get("best")
+                    better = prev is None or (
+                        val > prev if opt.bestMetric in _HIGHER_BETTER
+                        else val < prev)
+                    if better:
+                        _eval_shared["best"] = val
+                        # Synchronous write: successive bests target ONE
+                        # path (epoch pinned to "best"); overlapping async
+                        # replaces could finish out of order and keep a
+                        # stale file.
+                        # Lands at {name}_best_state.npz: the non-numeric
+                        # "epoch" keeps it invisible to prune_checkpoints
+                        # and restore_latest (their _(\d+)_ patterns), so
+                        # the best file survives retention and can never
+                        # be mistaken for an autoResume point.
+                        p = save_checkpoint(
+                            opt.checkpointDir, opt.name, "best",
+                            _BestG(st.params_g, st.state_g, st.step),
+                            meta={"step": int(jax.device_get(st.step)),
+                                  "epoch": ep, "split": opt.evalSplit,
+                                  opt.bestMetric: val})
+                        if not quiet:
+                            print(f"keepBest: {opt.bestMetric}={val:.4g} "
+                                  f"@epoch {ep} -> {p}", flush=True)
             if _user is not None:
                 _user(ep, st)
 
