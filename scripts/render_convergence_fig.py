@@ -81,6 +81,10 @@ PANELS = [
      _series("video3d_soak_results.json", regime="video3d")),
     ("logo 7.5k soak — pair split\n(held-out peaks @6804, then oscillates)",
      _series("logo_soak_results.json", regime="logo")),
+    ("center 10k soak — 512 textures\n(onset ~1.2k like 2048; dips, recovers)",
+     _series("center_soak512_results.json", regime="center")),
+    ("logo 12.5k soak — finer scoring\n(oscillation band keeps rising)",
+     _series("logo_soak12k_results.json", regime="logo")),
 ]
 
 
