@@ -207,6 +207,54 @@ def test_keep_best_banks_the_peak(image_root, tmp_path, monkeypatch):
     assert abs(float(m["hole_l2"]) - meta["hole_l2"]) < 5e-4
 
 
+def test_keep_best_seeds_from_existing_best_file(image_root, tmp_path,
+                                                 monkeypatch):
+    """A pre-existing {name}_best_state.npz seeds best-so-far, so a
+    resumed/continued run's first eval can never overwrite a better
+    pre-kill peak with a worse value — and a worse seed is still beaten."""
+    import json as _json
+
+    def _rewrite_meta(path, **updates):
+        with np.load(path, allow_pickle=False) as d:
+            arrs = {k: d[k] for k in d.files}
+        meta = _json.loads(str(arrs["__meta__"]))
+        meta.update(updates)
+        arrs["__meta__"] = np.array(_json.dumps(meta))
+        np.savez(path, **arrs)
+
+    def _meta(path):
+        with np.load(path, allow_pickle=False) as d:
+            return _json.loads(str(d["__meta__"]))
+
+    monkeypatch.chdir(tmp_path)
+    opt = Opt(DATA_ROOT=image_root, loadSize=140, wtl2=0.999, split=80,
+              **{**TINY, "niter": 1, "evalEvery": 1, "evalBatches": 1,
+                 "evalSplit": "test", "keepBest": True, "name": "kbr",
+                 "checkpointEvery": 99})
+    best = "checkpoints/kbr_best_state.npz"
+    train(opt, "center", quiet=True)
+    assert os.path.exists(best)
+
+    # Unbeatable existing peak (hole_l2=0 is perfect): the next run's eval
+    # must NOT re-bank.
+    _rewrite_meta(best, hole_l2=0.0, epoch=-1)
+    train(opt, "center", quiet=True)
+    assert _meta(best)["hole_l2"] == 0.0 and _meta(best)["epoch"] == -1
+
+    # Hopeless existing peak: the next run's first eval re-banks over it.
+    _rewrite_meta(best, hole_l2=1e9, epoch=-1)
+    train(opt, "center", quiet=True)
+    m = _meta(best)
+    assert m["hole_l2"] < 1.0 and m["epoch"] == 1
+
+    # A best file banked under a DIFFERENT metric carries no comparable
+    # value: it is ignored (first eval re-banks under the new metric).
+    _rewrite_meta(best, hole_l2=0.0, epoch=-1)
+    train(opt.replace(bestMetric="psnr_db"), "center", quiet=True)
+    m = _meta(best)
+    assert "psnr_db" in m and m["epoch"] == 1
+
+
 def test_keep_best_config_preflight(image_root, tmp_path, monkeypatch):
     """keepBest without evalEvery, or with an unknown bestMetric, aborts
     at startup before any resources exist."""

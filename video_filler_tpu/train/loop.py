@@ -18,7 +18,9 @@ CLI (env-var names match the reference; see config.py):
 
 from __future__ import annotations
 
+import json
 import math
+import os
 import signal
 import sys
 import threading
@@ -438,6 +440,24 @@ def train(opt: Opt, regime: str, max_steps: int | None = None,
         from video_filler_tpu.eval.common import live_generator
         from video_filler_tpu.eval.metrics import evaluate
         _eval_shared: dict = {}
+        if opt.keepBest:
+            # Seed best-so-far from an existing best file (same run name):
+            # an autoResume'd continuation — the recommended shape for long
+            # runs over the axon tunnel (CLAUDE.md's per-process budget) —
+            # must not let its first post-resume eval overwrite a better
+            # pre-kill peak.  A best file banked under a DIFFERENT metric
+            # is ignored (no comparable value; the first eval re-banks).
+            bp = checkpoint_path(opt.checkpointDir, opt.name, "best")
+            if os.path.exists(bp):
+                with np.load(bp, allow_pickle=False) as _d:
+                    _meta = json.loads(str(_d["__meta__"]))
+                if opt.bestMetric in _meta:
+                    _eval_shared["best"] = float(_meta[opt.bestMetric])
+                    if not quiet:
+                        print(f"keepBest: resuming best-so-far "
+                              f"{opt.bestMetric}="
+                              f"{_eval_shared['best']:.4g} from {bp}",
+                              flush=True)
         user_hook = epoch_hook
 
         def epoch_hook(ep, st, _user=user_hook):
