@@ -88,7 +88,10 @@ def test_ledger_save_free_mode(image_root, tmp_path, monkeypatch):
     rows = []
     run_ledger(opt, "center", ("train",), rows, mid_tag="mid",
                final_tag="final", max_steps=2, n_batches=1, save=False)
-    assert [r["ckpt"] for r in rows] == ["init", "final"]
+    # The final row's tag is DERIVED from the actual step reached (the
+    # round-5 step-label fix): a hand-computed final_tag that disagrees
+    # is corrected, so curves can never carry mislabeled x-coordinates.
+    assert [r["ckpt"] for r in rows] == ["init", "step2"]
     assert all(np.isfinite(r["l2"]) for r in rows)
     assert not glob.glob("checkpoints/nosave*")
 
@@ -112,8 +115,10 @@ def test_ledger_periodic_scoring_flushes(image_root, tmp_path, monkeypatch):
                final_tag="final", max_steps=6, n_batches=1, save=False,
                score_every=1, flush=lambda: flushed.append(len(rows)))
     # 3 steps/epoch; max_steps=6 stops inside epoch 2 before its boundary,
-    # so exactly one periodic row (epoch 1 = global step 3) lands.
-    assert [r["ckpt"] for r in rows] == ["init", "step3", "final"]
+    # so exactly one periodic row (epoch 1 = global step 3) lands.  The
+    # final row's tag is derived from the actual step reached (step-label
+    # fix), overriding the hand-computed "final".
+    assert [r["ckpt"] for r in rows] == ["init", "step3", "step6"]
     assert flushed == [1, 2, 3]  # flush ran after every row
     assert all(np.isfinite(r["l2"]) for r in rows)
     assert not glob.glob("checkpoints/nosave2*")
