@@ -85,6 +85,8 @@ PANELS = [
      _series("center_soak512_results.json", regime="center")),
     ("logo 12.5k soak — finer scoring\n(oscillation band keeps rising)",
      _series("logo_soak12k_results.json", regime="logo")),
+    ("center 30k soak — 2048 textures\n(double descent: trough @10k, recovers)",
+     _series("center_soak30k_results.json", regime="center")),
 ]
 
 
