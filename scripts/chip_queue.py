@@ -45,6 +45,44 @@ DEADLINE_S = float(os.environ.get("CQ_DEADLINE_S", 6.0 * 3600))
 for d in (QDIR, LOGS, RESULTS):
     os.makedirs(d, exist_ok=True)
 
+
+def _write_pidfile(path, pid):
+    with open(path, "w") as f:
+        f.write(str(pid))
+
+
+def _reap_stale(pidfile, marker):
+    """Kill a child a PREVIOUS queue instance left behind.
+
+    Externally killing the queue orphans its in-flight probe/job child;
+    an orphaned axon client holds the tunnel and every later client hangs
+    (wedged it exactly this way, round 5 session 4).  Pid + cmdline-marker
+    match only — never kill by pattern.
+    """
+    try:
+        with open(pidfile) as f:
+            pid = int(f.read().strip())
+        with open(f"/proc/{pid}/cmdline", "rb") as f:
+            cmdline = f.read().decode("utf-8", "replace")
+    except (OSError, ValueError):
+        return
+    if marker in cmdline and pid != os.getpid():
+        print(f"reaping stale child {pid} ({marker})", flush=True)
+        try:
+            os.kill(pid, 9)
+        except OSError:
+            pass
+    try:
+        os.remove(pidfile)
+    except OSError:
+        pass
+
+
+PROBE_PID = os.path.join(QDIR, "probe.pid")
+JOB_PID = os.path.join(QDIR, "job.pid")
+_reap_stale(PROBE_PID, "PROBE-OK")
+_reap_stale(JOB_PID, "scripts/run_")
+
 _PROBE_SRC = (
     "import jax, jax.numpy as jnp\n"
     "x = jnp.ones((128, 128), jnp.bfloat16)\n"
@@ -99,13 +137,22 @@ def _snapshot_results(job):
 
 
 def _probe():
+    p = subprocess.Popen([sys.executable, "-c", _PROBE_SRC], cwd=REPO,
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                         text=True)
+    _write_pidfile(PROBE_PID, p.pid)
     try:
-        r = subprocess.run([sys.executable, "-c", _PROBE_SRC], cwd=REPO,
-                           capture_output=True, text=True,
-                           timeout=PROBE_TIMEOUT_S)
-        return r.returncode == 0 and "PROBE-OK" in r.stdout
+        out, _ = p.communicate(timeout=PROBE_TIMEOUT_S)
+        return p.returncode == 0 and "PROBE-OK" in out
     except subprocess.TimeoutExpired:
+        p.kill()
+        p.communicate()
         return False
+    finally:
+        try:
+            os.remove(PROBE_PID)
+        except OSError:
+            pass
 
 
 def _wait_for_chip():
@@ -142,16 +189,24 @@ def _run_once(job):
     _write_status()
     log = _log_path(name)
     print(f"RUN {name} attempt {js['attempts']} -> {log}", flush=True)
-    try:
-        with open(log, "a") as lf:
-            lf.write(f"\n=== attempt {js['attempts']} "
-                     f"{time.strftime('%F %T')} ===\n")
-            lf.flush()
-            r = subprocess.run(argv, cwd=REPO, stdout=lf,
-                               stderr=subprocess.STDOUT, timeout=eff_tmo)
-        rc = r.returncode
-    except subprocess.TimeoutExpired:
-        rc = "timeout"
+    with open(log, "a") as lf:
+        lf.write(f"\n=== attempt {js['attempts']} "
+                 f"{time.strftime('%F %T')} ===\n")
+        lf.flush()
+        p = subprocess.Popen(argv, cwd=REPO, stdout=lf,
+                             stderr=subprocess.STDOUT)
+        _write_pidfile(JOB_PID, p.pid)
+        try:
+            rc = p.wait(timeout=eff_tmo)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            p.wait()
+            rc = "timeout"
+        finally:
+            try:
+                os.remove(JOB_PID)
+            except OSError:
+                pass
     _snapshot_results(job)
     ok = rc == 0 and _done(job)
     js.update(status="done" if ok else f"failed rc={rc}",
