@@ -39,8 +39,15 @@ def _step(tag):
 
 
 def _series(path, regime=None, ledger=None):
-    """{split: ([step...], [hole_l2...], [std...])} sorted by step."""
-    rows = json.load(open(os.path.join(REPO, path)))
+    """{split: ([step...], [hole_l2...], [std...])} sorted by step.
+
+    A missing file (results not yet folded in) renders as an empty
+    panel rather than breaking the whole figure.
+    """
+    try:
+        rows = json.load(open(os.path.join(REPO, path)))
+    except OSError:
+        return {}
     out = {}
     for r in rows:
         if regime and r.get("regime") != regime:
@@ -87,7 +94,12 @@ PANELS = [
      _series("logo_soak12k_results.json", regime="logo")),
     ("center 30k soak — 2048 textures\n(double descent: trough @10k, recovers)",
      _series("center_soak30k_results.json", regime="center")),
+    ("center 3k fine — 256 textures\n(75-step scoring: first-descent peak)",
+     _series("center_soak256fine_results.json", regime="center")),
+    ("video3d 30k soak\n(long-horizon plateau search)",
+     _series("video3d_soak30k_results.json", regime="video3d")),
 ]
+PANELS = [p for p in PANELS if p[1]]  # drop not-yet-landed result files
 
 
 def main():
